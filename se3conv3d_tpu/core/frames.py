@@ -1,0 +1,190 @@
+"""Local reference-frame sampling (PCA and random), pure JAX.
+
+Re-implements the frame construction of reference
+``pc/RotationFunctions.py:265-508`` and the frame-selection logic of
+``pc/PointcloudRotEquiv.py:77-178`` for the padded ``[B, N, ...]`` layout.
+
+Conventions (matching the reference exactly):
+  * ``jnp.linalg.eigh`` returns eigenvalues ascending with eigenvectors as
+    columns - the same convention as ``torch.linalg.eigh``.
+  * If ``det(eigvec) < 0`` the *whole* matrix is negated (reference
+    ``RotationFunctions.py:341-342``).
+  * Free-axis PCA emits 4 frames: the eigenbasis with column sign sets
+    ``(1,1,1), (1,-1,-1), (-1,1,-1), (-1,-1,1)`` (all det=+1 combinations,
+    in ``itertools.product`` order - reference ``:344-356``).
+  * Fixed-axis PCA (``fixed_axis`` in {1, 2}) zeroes that coordinate of the
+    neighborhood, flips the eigen-order to descending, emits 2 frames with
+    sign sets ``(1,1,1), (-1,-1,1)`` and permutes columns so the fixed axis
+    ends up in the right slot (reference ``:357-406``).
+  * A reference quirk preserved here: ``fixed_axis=0`` is *falsy* in the
+    reference's truthiness check (``:323``) and therefore selects the free
+    path; only 1 and 2 can actually be fixed.
+"""
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from .rotation import planar_rotations, random_rotations
+
+__all__ = [
+    "FREE_SIGN_SETS",
+    "FIXED_SIGN_SETS",
+    "pca_frames",
+    "global_pca_frames",
+    "shuffle_and_select_frames",
+    "random_frames",
+    "is_fixed_axis",
+]
+
+# det=+1 column sign combinations, itertools.product((1,-1), repeat=3) order.
+FREE_SIGN_SETS = jnp.array(
+    [[1.0, 1.0, 1.0], [1.0, -1.0, -1.0], [-1.0, 1.0, -1.0], [-1.0, -1.0, 1.0]]
+)
+FIXED_SIGN_SETS = jnp.array([[1.0, 1.0, 1.0], [-1.0, -1.0, 1.0]])
+
+_FIXED_AXIS_COLUMN_PERM = {1: (0, 2, 1), 2: (0, 1, 2)}
+_SNAP_EPS = 1e-6
+
+
+def is_fixed_axis(fixed_axis) -> bool:
+    """Truthiness check used throughout the reference (``fixed_axis=0`` -> free)."""
+    return bool(fixed_axis)
+
+
+def _orient_positive(eigvec: jnp.ndarray) -> jnp.ndarray:
+    """Negate whole matrices with negative determinant ``[..., 3, 3]``."""
+    det = jnp.linalg.det(eigvec)
+    return jnp.where(det[..., None, None] < 0, -eigvec, eigvec)
+
+
+def _eigh_frames(cov: jnp.ndarray) -> jnp.ndarray:
+    """Batched symmetric 3x3 eigendecomposition -> eigenvector matrices.
+
+    Eigenvalues ascending; eigenvectors are columns.
+    """
+    _, eigvec = jnp.linalg.eigh(cov)
+    return eigvec
+
+
+def _expand_sign_sets(eigvec: jnp.ndarray, sign_sets: jnp.ndarray) -> jnp.ndarray:
+    """``[..., 3, 3] x [S, 3] -> [..., S, 3, 3]`` column sign flips."""
+    # sign_sets[s, j] multiplies column j (last axis indexes columns).
+    return eigvec[..., None, :, :] * sign_sets[:, None, :]
+
+
+def pca_frames(
+    positions: jnp.ndarray,
+    neigh_idx: jnp.ndarray,
+    neigh_mask: jnp.ndarray,
+    fixed_axis: Union[bool, int, None] = False,
+) -> jnp.ndarray:
+    """Per-point PCA reference frames from a padded kNN neighborhood.
+
+    Args:
+      positions: ``[..., N, 3]`` point coordinates.
+      neigh_idx: ``[..., N, K]`` int indices into the N axis (in-bounds even
+        when invalid).
+      neigh_mask: ``[..., N, K]`` bool; invalid neighbors are replaced by the
+        center point itself, reproducing the self-loop fill of reference
+        ``RotationFunctions.py:314-317``.
+      fixed_axis: False/None/0 -> free SO(3) frames (4 per point); 1 or 2 ->
+        frames with that world axis fixed (2 per point).
+
+    Returns:
+      ``[..., N, S, 3, 3]`` frames, S = 4 (free) or 2 (fixed).
+    """
+    gathered = jnp.take_along_axis(
+        positions[..., None, :], neigh_idx[..., None], axis=-3
+    )  # [..., N, K, 3]
+    center = positions[..., :, None, :]
+    neigh_pts = jnp.where(neigh_mask[..., None], gathered, center)
+
+    if is_fixed_axis(fixed_axis):
+        axis = int(fixed_axis)
+        if axis == 0:
+            raise ValueError(
+                "fixed_axis=0 is unreachable in the reference (falsy check); "
+                "use False for free frames"
+            )
+        neigh_pts = neigh_pts.at[..., axis].set(0.0)
+
+    centered = neigh_pts - jnp.mean(neigh_pts, axis=-2, keepdims=True)
+    cov = jnp.einsum("...kd,...ke->...de", centered, centered)
+    eigvec = _eigh_frames(cov)
+
+    if is_fixed_axis(fixed_axis):
+        axis = int(fixed_axis)
+        eigvec = jnp.flip(eigvec, axis=-1)  # descending eigenvalue order
+        eigvec = _orient_positive(eigvec)
+        frames = _expand_sign_sets(eigvec, FIXED_SIGN_SETS)
+        perm = _FIXED_AXIS_COLUMN_PERM[axis]
+        frames = frames[..., :, perm]
+        frames = jnp.where(jnp.abs(frames) < _SNAP_EPS, 0.0, frames)
+        return frames
+
+    eigvec = _orient_positive(eigvec)
+    return _expand_sign_sets(eigvec, FREE_SIGN_SETS)
+
+
+def global_pca_frames(positions: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """One set of 4 PCA frames per batch element from all valid points.
+
+    Reference ``RotationFunctions.py:265-304`` (fixed-axis variant is
+    unimplemented there too).
+
+    Args:
+      positions: ``[B, N, 3]``; mask: ``[B, N]``.
+    Returns:
+      ``[B, 4, 3, 3]``.
+    """
+    m = mask[..., None]
+    count = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)[..., None]
+    mean = jnp.sum(jnp.where(m, positions, 0.0), axis=-2, keepdims=True) / count
+    centered = jnp.where(m, positions - mean, 0.0)
+    cov = jnp.einsum("...kd,...ke->...de", centered, centered)
+    eigvec = _orient_positive(_eigh_frames(cov))
+    return _expand_sign_sets(eigvec, FREE_SIGN_SETS)
+
+
+def shuffle_and_select_frames(
+    key: jax.Array, frames: jnp.ndarray, n_frames: int
+) -> jnp.ndarray:
+    """Random per-point permutation of the S candidate frames; keep first n.
+
+    Reference ``pc/PointcloudRotEquiv.py:146-168`` (``torch.multinomial``
+    over uniform weights = uniform permutation).
+
+    Args:
+      frames: ``[..., S, 3, 3]``.
+    Returns:
+      ``[..., n_frames, 3, 3]``.
+    """
+    s = frames.shape[-3]
+    scores = jax.random.uniform(key, frames.shape[:-2])  # [..., S]
+    perm = jnp.argsort(scores, axis=-1)[..., :n_frames]
+    return jnp.take_along_axis(frames, perm[..., None, None], axis=-3)
+
+
+def random_frames(
+    key: jax.Array,
+    batch: int,
+    n_points: int,
+    n_frames: int,
+    fixed_axis: Union[bool, int, None] = False,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Uniform-random frames ``[B, N, F, 3, 3]`` (non-PCA path).
+
+    Reference ``RotationFunctions.py:428-508``: uniform SO(3) rotations, or
+    planar rotations about ``fixed_axis`` (1 or 2; 0 falls through to the
+    uniform path by the same truthiness quirk).
+    """
+    n = batch * n_points * n_frames
+    if is_fixed_axis(fixed_axis):
+        mats = planar_rotations(key, n, int(fixed_axis), dtype=dtype)
+    else:
+        mats = random_rotations(key, n, dtype=dtype)
+    return mats.reshape(batch, n_points, n_frames, 3, 3)

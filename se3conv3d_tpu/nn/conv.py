@@ -1,0 +1,215 @@
+"""Point convolution layers (flax).
+
+``PNEConv`` is the single conv layer covering both the standard path
+(reference ``layers/PNEConvLayer.py:48-229``) and the locally
+SE(3)-equivariant path (reference ``layers/PNEConvLayerRotEquiv.py:49-233``)
+selected by ``equivariant=True``.  ``ConvFactory`` mirrors the reference's
+factory protocol (``layers/IConvLayer.py:107-160``) as a lightweight spec
+object models use to stamp out convs.
+
+Calibration protocol: the reference runs one "pre-process" epoch that EMA
+updates two per-layer buffers (``IConvLayer.py:75-97``):
+
+  * ``norm_neigh_dist``: 1/radius for ball query, 1/(2 * mean kNN edge
+    distance) for kNN,
+  * ``norm_num_neighs``: query rows / edges (reciprocal of the mean
+    neighbor count).
+
+Here those buffers live in the ``calib`` variable collection and update
+when the layer is applied with ``calibrate=True`` (apply with
+``mutable=['calib']``).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.neighborhoods import Neighborhood
+from ..core.pointcloud import PointCloud
+from ..ops import pne_conv as ops
+from .icosphere import icosphere_points
+
+__all__ = ["PNEConv", "ConvFactory"]
+
+
+def _uniform_init(stddev: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -stddev, stddev)
+
+    return init
+
+
+def _kernel_points(pne_type: str):
+    """Kernel-point set + sigma by pne type (reference ``PNEConvLayer.py:102-134``)."""
+    if "double" in pne_type:
+        kp_scale = 0.35
+        kp = icosphere_points(0) * kp_scale
+        kp2 = icosphere_points(1) * kp_scale * 2
+        kp = jnp.concatenate(
+            [jnp.asarray(kp), jnp.asarray(kp2), jnp.zeros((1, 3))]
+        ).astype(jnp.float32)
+        sigma = {"kp_linear_double": 0.2, "kp_gauss_double": 0.16, "kp_box_double": 1.0}[
+            pne_type
+        ]
+    else:
+        kp = jnp.concatenate([jnp.asarray(icosphere_points(0)), jnp.zeros((1, 3))])
+        kp = (kp * 0.6).astype(jnp.float32)
+        sigma = {"kp_linear": 0.4, "kp_gauss": 0.3, "kp_box": 1.0}[pne_type]
+    return kp, sigma
+
+
+class PNEConv(nn.Module):
+    """Point convolution with point-neighborhood embeddings.
+
+    Args (static):
+      in_features / out_features: channel sizes.
+      num_basis: Cb basis functions (reference supports 8/16/32/64).
+      pne_type: 'mlp_{relu,gelu,sin,softmax,linear}' or
+        'kp_{linear,gauss,box}[_double]'.
+      equivariant: use per-point frames + relative-rotation features
+        (mlp types only, like the reference - ``PNEConvLayerRotEquiv.py:221``).
+      rel_rot_type: relative-rotation representation for the equivariant
+        path ('6D' | 'quaternion' | 'matrix').
+      aggregation: 'add' (basis projection) or 'max' (transform-neighbor max,
+        reference ``PNEConvLayer.py:224-227``), standard path only.
+
+    Call:
+      ``conv(pc_in, pc_out, features, neigh, calibrate=False)``
+      features: ``[B, N, Ci]`` (standard) or ``[B, N, F, Ci]`` (equivariant);
+      returns ``[B, M, Co]`` / ``[B, M, G, Co]``.
+    """
+
+    in_features: int
+    out_features: int
+    num_basis: int
+    pne_type: str
+    equivariant: bool = False
+    rel_rot_type: str = "6D"
+    aggregation: str = "add"
+
+    @nn.compact
+    def __call__(
+        self,
+        pc_in: PointCloud,
+        pc_out: PointCloud,
+        features: jnp.ndarray,
+        neigh: Neighborhood,
+        calibrate: bool = False,
+    ) -> jnp.ndarray:
+        if self.equivariant and "kp" in self.pne_type:
+            raise NotImplementedError(
+                "kernel-point PNE is not defined for the equivariant path "
+                "(reference PNEConvLayerRotEquiv.py:221-222)"
+            )
+
+        rot_dims = {"6D": 6, "quaternion": 4, "matrix": 9}[self.rel_rot_type]
+        if "mlp" in self.pne_type:
+            p_dims = (3 + rot_dims) if self.equivariant else 3
+        else:
+            kp, sigma = _kernel_points(self.pne_type)
+            p_dims = kp.shape[0]
+
+        proj_axes = self.param(
+            "proj_axes",
+            _uniform_init(math.sqrt(1.0 / p_dims)),
+            (p_dims, self.num_basis),
+        )
+        proj_biases = self.param(
+            "proj_biases", nn.initializers.zeros, (self.num_basis,)
+        )
+        conv_weights = self.param(
+            "conv_weights",
+            _uniform_init(math.sqrt(1.0 / (self.in_features * self.num_basis))),
+            (self.in_features, self.num_basis, self.out_features),
+        )
+
+        norm_dist_var = self.variable(
+            "calib", "norm_neigh_dist", lambda: jnp.zeros(())
+        )
+        norm_neighs_var = self.variable(
+            "calib", "norm_num_neighs", lambda: jnp.zeros(())
+        )
+
+        if calibrate and not self.is_initializing():
+            if neigh.method == "ball_query":
+                new_dist = jnp.asarray(1.0 / neigh.radius)
+            else:
+                src = jax.vmap(lambda v, i: v[i])(pc_in.positions, neigh.idx)
+                diff = src - pc_out.positions[:, :, None, :]
+                dist = jnp.sqrt(jnp.sum(diff**2, axis=-1))
+                edges = jnp.maximum(jnp.sum(neigh.mask), 1)
+                mean_dist = jnp.sum(jnp.where(neigh.mask, dist, 0.0)) / edges
+                new_dist = 1.0 / (2.0 * mean_dist)
+            rows = jnp.sum(neigh.query_mask)
+            edges = jnp.maximum(jnp.sum(neigh.mask), 1)
+            new_neighs = rows / edges
+            norm_dist_var.value = 0.9 * norm_dist_var.value + 0.1 * new_dist
+            norm_neighs_var.value = (
+                0.9 * norm_neighs_var.value + 0.1 * new_neighs
+            )
+
+        norm_dist = jax.lax.stop_gradient(norm_dist_var.value)
+        norm_neighs = jax.lax.stop_gradient(norm_neighs_var.value)
+        act = ops.pne_activation(self.pne_type) if "mlp" in self.pne_type else None
+
+        if self.equivariant:
+            geo = ops.equiv_geometry(
+                pc_in, pc_out, neigh, norm_dist, self.rel_rot_type
+            )  # [B,M,K,G,F,3+R]
+            pne = ops.linear_pne(geo, proj_axes, proj_biases, act)
+            pne = pne * neigh.mask[:, :, :, None, None, None]
+            return ops.equiv_basis_conv(
+                pne, features, neigh, conv_weights, norm_neighs
+            )
+
+        rel = ops.relative_offsets(pc_in, pc_out, neigh, norm_dist)
+        if "mlp" in self.pne_type:
+            pne = ops.linear_pne(rel, proj_axes, proj_biases, act)
+        else:
+            corr = "gauss" if "gauss" in self.pne_type else (
+                "box" if "box" in self.pne_type else "linear"
+            )
+            pne = ops.kp_pne(rel, kp, sigma, corr, proj_axes, proj_biases)
+        pne = pne * neigh.mask[..., None]
+
+        if self.aggregation == "max":
+            gathered = jax.vmap(lambda v, i: v[i])(features, neigh.idx)
+            per_edge = jnp.einsum(
+                "bmkc,bmkq,cqo->bmko", gathered, pne, conv_weights
+            )
+            neg = jnp.finfo(per_edge.dtype).min
+            per_edge = jnp.where(neigh.mask[..., None], per_edge, neg)
+            out = jnp.max(per_edge, axis=2)
+            out = jnp.where(jnp.any(neigh.mask, axis=2)[..., None], out, 0.0)
+            return out * norm_neighs
+
+        return ops.basis_conv(pne, features, neigh, conv_weights, norm_neighs)
+
+
+@dataclass
+class ConvFactory:
+    """Conv-layer spec, the analogue of the reference conv factories
+    (``PNEConvLayerFactory``, ``PNEConvLayerRotEquivFactory``)."""
+
+    num_basis: int = 32
+    pne_type: str = "mlp_gelu"
+    equivariant: bool = False
+    rel_rot_type: str = "6D"
+    aggregation: str = "add"
+
+    def make(self, in_features: int, out_features: int, name: Optional[str] = None) -> PNEConv:
+        return PNEConv(
+            in_features=in_features,
+            out_features=out_features,
+            num_basis=self.num_basis,
+            pne_type=self.pne_type,
+            equivariant=self.equivariant,
+            rel_rot_type=self.rel_rot_type,
+            aggregation=self.aggregation,
+            name=name,
+        )
