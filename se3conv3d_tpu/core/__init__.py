@@ -27,3 +27,10 @@ from .frames import (
 )
 from .grid import SubsampleMap, build_grid_subsample, grid_subsample_cloud
 from .neighborhoods import Neighborhood, ball_query_neighborhood, knn_neighborhood
+from .hierarchy import (
+    FrameConfig,
+    Hierarchy,
+    HierarchyConfig,
+    attach_frames,
+    build_hierarchy,
+)

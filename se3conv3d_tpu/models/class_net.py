@@ -1,0 +1,61 @@
+"""Classification network (flax).
+
+Counterpart of reference ``models/ClassNet.py:8-153`` (without the unused
+``GLOBAL_EQUIV_FEATUREVECTOR`` all-points-conv path, which no shipped config
+enables; the invariant pooling paths are complete).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.hierarchy import Hierarchy
+from ..core.pointcloud import frame_pool, global_pool
+from ..nn.blocks import TorchLinear
+from ..nn.norm import MaskedBatchNorm
+from .encoder import Encoder
+from .spec import ModelSpec, NeighborhoodProvider
+
+__all__ = ["ClassNet"]
+
+
+class ClassNet(nn.Module):
+    """Encoder + global pooling + BN + linear head.
+
+    Equivariant path (reference ``ClassNet.py:114-129``): if
+    ``spec.frame_pooling_method`` is set, frames are pooled to invariant
+    per-point features first, then points are pooled by
+    ``spec.pooling_method``; otherwise points x frames pool jointly.
+    """
+
+    spec: ModelSpec
+    num_in_feats: int
+    num_classes: int
+
+    @nn.compact
+    def __call__(
+        self,
+        hierarchy: Hierarchy,
+        features: jnp.ndarray,
+        train: bool,
+        calibrate: bool = False,
+    ) -> jnp.ndarray:
+        s = self.spec
+        provider = NeighborhoodProvider(hierarchy, s)
+        enc = Encoder(s, self.num_in_feats, name="encoder")(
+            hierarchy, features, provider, train, calibrate
+        )
+        feats = enc[-1]
+        last_pc = hierarchy.levels[-1]
+
+        if feats.ndim == 4 and s.frame_pooling_method is not None:
+            feats = frame_pool(feats, s.frame_pooling_method)
+        x = global_pool(last_pc, feats, s.pooling_method)  # [B, C]
+
+        # Plain BatchNorm1d over the pooled vectors (reference
+        # ``ClassNet.py:72``): each batch element is one row.
+        b = x.shape[0]
+        x = MaskedBatchNorm(s.num_features[-1], name="class_norm")(
+            x[:, None, :], jnp.ones((b, 1), bool), train
+        )[:, 0]
+        return TorchLinear(self.num_classes, name="class_head")(x)

@@ -1,0 +1,146 @@
+"""Static model configuration + trace-time neighborhood provider.
+
+``ModelSpec`` carries what the reference spreads over class attributes of
+``models/FPNSegUNet.py:13-32`` / ``models/ClassNet.py:12-27`` and their task
+subclasses (``tasks/SemSeg/seg_models.py``, ``tasks/Classification/
+class_models.py``).  ``NeighborhoodProvider`` replaces the reference's
+per-hierarchy neighborhood cache (``pc/PointHierarchy.py:60-79``): models
+request neighborhoods by (src level, dst level, radius) during tracing and
+identical requests are deduplicated, so geometry is computed once per
+(level, neighborhood) per step — the same effect as the reference's cache,
+but as pure trace-time sharing instead of mutable state.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+from ..core.hierarchy import Hierarchy
+from ..core.neighborhoods import (
+    Neighborhood,
+    ball_query_neighborhood,
+    knn_neighborhood,
+)
+from ..core.pointcloud import PointCloud
+from ..nn.conv import ConvFactory
+
+__all__ = ["ModelSpec", "NeighborhoodProvider"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Static architecture hyperparameters.
+
+    Field-for-field counterpart of the reference model class attributes;
+    ``max_neighbors`` is TPU-specific: the static cap of the padded
+    ball-query neighbor tables (the reference's ball query is unbounded;
+    its mean normalisation makes capping benign — SURVEY §7).
+    """
+
+    conv: ConvFactory
+    conv_blocks: Optional[ConvFactory] = None
+
+    # Patch embedding (stem).
+    patch_num_levels: int = 1
+    patch_num_features: Tuple[int, ...] = (8,)
+    patch_neigh_type: str = "ball_query"
+    patch_radius_scale: float = 2.0
+    patch_num_knn: int = 16
+
+    # Encoder trunk.
+    block_layer: str = "resnetformer"
+    num_blocks: Tuple[int, ...] = (2, 2, 2, 2, 2)
+    num_features: Tuple[int, ...] = (64, 128, 192, 256, 320)
+    neigh_type: str = "ball_query"
+    radius_scale: float = 2.0
+    num_knn: int = 16
+    radius_scale_blocks: float = 2.0
+    num_knn_blocks: int = 16
+
+    # Decoder / FPN.
+    radius_scale_dec: float = 1.5
+    num_knn_dec: int = 16
+    fpn_dec_feats: int = 128
+    num_hidden_seg_head: int = 0
+
+    # Stochastic depth.
+    max_path_drop: float = 0.2
+    max_path_dec_drop: float = 0.0
+
+    # Classification head (reference ``ClassNet.py:25-27``).
+    pooling_method: str = "avg"
+    frame_pooling_method: Optional[str] = None
+
+    # TPU static neighbor caps.
+    max_neighbors: int = 32
+
+    def __post_init__(self):
+        if self.conv_blocks is None:
+            object.__setattr__(self, "conv_blocks", self.conv)
+        if len(self.patch_num_features) != self.patch_num_levels:
+            raise ValueError("patch_num_features must have patch_num_levels entries")
+        if len(self.num_blocks) != len(self.num_features):
+            raise ValueError("num_blocks and num_features must align")
+
+    @property
+    def num_levels(self) -> int:
+        """Hierarchy levels the model expects (patch levels + trunk levels)."""
+        return self.patch_num_levels + len(self.num_features)
+
+    @property
+    def equivariant(self) -> bool:
+        return self.conv.equivariant
+
+
+class NeighborhoodProvider:
+    """Trace-time neighborhood cache over a hierarchy.
+
+    ``get(src, dst, radius, neigh_type, k)`` returns the padded neighbor
+    table from hierarchy level ``src`` to level ``dst``; repeated identical
+    requests during one trace return the same traced value (XLA CSE would
+    catch most of it anyway, but this also keeps the program small).
+    """
+
+    def __init__(self, hierarchy: Hierarchy, spec: ModelSpec):
+        self.hierarchy = hierarchy
+        self.spec = spec
+        self._cache: Dict[tuple, Neighborhood] = {}
+
+    def _build(
+        self,
+        src_pc: PointCloud,
+        dst_pc: PointCloud,
+        radius: float,
+        neigh_type: str,
+        k: int,
+    ) -> Neighborhood:
+        if neigh_type == "ball_query":
+            return ball_query_neighborhood(
+                src_pc, dst_pc, radius, self.spec.max_neighbors
+            )
+        if neigh_type == "knn":
+            return knn_neighborhood(src_pc, dst_pc, k)
+        raise ValueError(f"unknown neighborhood type {neigh_type!r}")
+
+    def get(
+        self, src: int, dst: int, radius: float, neigh_type: str, k: int
+    ) -> Neighborhood:
+        key = (src, dst, round(float(radius), 9), neigh_type, k)
+        if key not in self._cache:
+            self._cache[key] = self._build(
+                self.hierarchy.levels[src],
+                self.hierarchy.levels[dst],
+                radius,
+                neigh_type,
+                k,
+            )
+        return self._cache[key]
+
+    def to_cloud(
+        self, src: int, dst_pc: PointCloud, radius: float, neigh_type: str, k: int
+    ) -> Neighborhood:
+        """Neighborhood from a hierarchy level to an external cloud (the
+        segmentation output cloud — reference ``FPNSegUNet.py:147-177``)."""
+        return self._build(
+            self.hierarchy.levels[src], dst_pc, radius, neigh_type, k
+        )

@@ -77,9 +77,11 @@ class SkipConnection(nn.Module):
 
     @nn.compact
     def __call__(self, x, y, train: bool):
+        # Explicit dtype: a weak-typed init would retrace the train step
+        # after the first optimizer update.
         gamma = self.param(
             "gamma",
-            lambda k, s: jnp.full(s, self.init_gamma),
+            lambda k, s: jnp.full(s, self.init_gamma, jnp.float32),
             (1, self.features),
         )
         return DropPath(self.drop_prob)(x * gamma, train) + y

@@ -128,11 +128,20 @@ class PNEConv(nn.Module):
             (self.in_features, self.num_basis, self.out_features),
         )
 
+        # The reference inits these buffers to 0 and relies on a full
+        # pre-process epoch of EMA updates to converge
+        # (``IConvLayer.py:33-36,75-97``).  Here they start at 1.0 (an
+        # uncalibrated net stays non-degenerate) and the *first* calibration
+        # step sets them directly, after which the reference's 0.9/0.1 EMA
+        # applies — the same steady state, reached immediately.
         norm_dist_var = self.variable(
-            "calib", "norm_neigh_dist", lambda: jnp.zeros(())
+            "calib", "norm_neigh_dist", lambda: jnp.ones(())
         )
         norm_neighs_var = self.variable(
-            "calib", "norm_num_neighs", lambda: jnp.zeros(())
+            "calib", "norm_num_neighs", lambda: jnp.ones(())
+        )
+        calib_init_var = self.variable(
+            "calib", "initialized", lambda: jnp.zeros((), bool)
         )
 
         if calibrate and not self.is_initializing():
@@ -148,10 +157,14 @@ class PNEConv(nn.Module):
             rows = jnp.sum(neigh.query_mask)
             edges = jnp.maximum(jnp.sum(neigh.mask), 1)
             new_neighs = rows / edges
-            norm_dist_var.value = 0.9 * norm_dist_var.value + 0.1 * new_dist
-            norm_neighs_var.value = (
-                0.9 * norm_neighs_var.value + 0.1 * new_neighs
+            seen = calib_init_var.value
+            norm_dist_var.value = jnp.where(
+                seen, 0.9 * norm_dist_var.value + 0.1 * new_dist, new_dist
             )
+            norm_neighs_var.value = jnp.where(
+                seen, 0.9 * norm_neighs_var.value + 0.1 * new_neighs, new_neighs
+            )
+            calib_init_var.value = jnp.ones((), bool)
 
         norm_dist = jax.lax.stop_gradient(norm_dist_var.value)
         norm_neighs = jax.lax.stop_gradient(norm_neighs_var.value)
@@ -191,7 +204,7 @@ class PNEConv(nn.Module):
         return ops.basis_conv(pne, features, neigh, conv_weights, norm_neighs)
 
 
-@dataclass
+@dataclass(frozen=True)
 class ConvFactory:
     """Conv-layer spec, the analogue of the reference conv factories
     (``PNEConvLayerFactory``, ``PNEConvLayerRotEquivFactory``)."""

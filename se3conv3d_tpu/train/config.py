@@ -1,0 +1,138 @@
+"""YAML experiment configuration (reference-compatible schema).
+
+Parses the three-section YAML layout of the reference task configs —
+``Training`` / ``Dataset`` / ``Model`` with the ``Model.RefFrames``
+frame-sampling sub-dict (reference ``train_dfaust_rot.py:439-468,560-565``;
+e.g. ``confs/dfaust/dfaust_I_rot_pca_2F.yaml``) — into the framework's
+static configs.  Shipped reference YAMLs parse unchanged; TPU-specific
+optional keys extend the ``Model`` section:
+
+  * ``capacities`` / ``out_capacity``: static per-level point capacities
+    (default: ``num_points`` halved per level),
+  * ``max_neighbors``: static ball-query cap (default 32).
+
+Augmentation configs are Python modules exporting ``DS_AUGMENTS`` lists
+imported by dotted path, exactly like the reference (``:32-39``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import importlib
+from typing import Any, Dict, Optional, Tuple
+
+import yaml
+
+from ..core.hierarchy import FrameConfig, HierarchyConfig
+from ..models import ClassNet, FPNSegUNet, get_model_spec
+from ..models.presets import CLASS_PRESETS, SEG_PRESETS
+
+__all__ = [
+    "load_yaml_config",
+    "frame_config_from_dict",
+    "hierarchy_config_from_model_dict",
+    "build_model_from_config",
+    "load_augmentations",
+]
+
+
+def load_yaml_config(path: str) -> Dict[str, Any]:
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    for section in ("Training", "Dataset", "Model"):
+        cfg.setdefault(section, {})
+    return cfg
+
+
+def load_augmentations(dotted_path: Optional[str]):
+    """Import a ``DS_AUGMENTS`` list by dotted module path (reference
+    ``train_dfaust_rot.py:32-39``); 'None'/empty -> no augs."""
+    if not dotted_path or dotted_path == "None":
+        return []
+    module = importlib.import_module(dotted_path)
+    return list(module.DS_AUGMENTS)
+
+
+def frame_config_from_dict(
+    ref_frames: Optional[Dict[str, Any]], train: bool = True
+) -> Optional[FrameConfig]:
+    """``Model.RefFrames`` -> FrameConfig.
+
+    Keys follow the reference exactly: ``pca``, ``neigh_method``,
+    ``neigh_kwargs.neigh_k``/``bq_radius``, ``fixed_axis``,
+    ``train_n_frames``/``test_n_frames`` (reference
+    ``pc/PointcloudRotEquiv.py:16-52``)."""
+    if not ref_frames:
+        return None
+    kwargs = ref_frames.get("neigh_kwargs", {}) or {}
+    n_frames = ref_frames.get(
+        "train_n_frames" if train else "test_n_frames",
+        ref_frames.get("n_frames", 2),
+    )
+    return FrameConfig(
+        n_frames=int(n_frames),
+        pca=bool(ref_frames.get("pca", True)),
+        fixed_axis=ref_frames.get("fixed_axis", False),
+        neigh_method=ref_frames.get("neigh_method", "knn"),
+        neigh_k=int(kwargs.get("neigh_k", 16)),
+        bq_radius=float(kwargs.get("bq_radius", 0.0)),
+    )
+
+
+def _default_capacities(num_points: int, num_levels: int) -> Tuple[int, ...]:
+    caps = []
+    cap = num_points
+    for _ in range(num_levels):
+        caps.append(max(cap, 32))
+        cap = max(cap // 2, 32)
+    return tuple(caps)
+
+
+def hierarchy_config_from_model_dict(
+    model_dict: Dict[str, Any],
+    num_points: int,
+    train: bool = True,
+    with_output: Optional[bool] = None,
+) -> HierarchyConfig:
+    """``Model`` section -> HierarchyConfig.
+
+    ``init_subsample`` / ``grid_subsamples`` / ``output_subsample``
+    semantics follow reference ``create_hierarchy``
+    (``train_dfaust_rot.py:108-158``)."""
+    cell_sizes = tuple(float(c) for c in model_dict["grid_subsamples"])
+    n_levels = len(cell_sizes) + 1
+    caps = model_dict.get("capacities")
+    caps = (
+        tuple(int(c) for c in caps)
+        if caps is not None
+        else _default_capacities(num_points, n_levels)
+    )
+    out_cell = model_dict.get("output_subsample")
+    if with_output is False:
+        out_cell = None
+    return HierarchyConfig(
+        init_cell_size=float(model_dict["init_subsample"]),
+        cell_sizes=cell_sizes,
+        capacities=caps,
+        out_cell_size=float(out_cell) if out_cell is not None else None,
+        out_capacity=int(model_dict.get("out_capacity", num_points)),
+        frames=frame_config_from_dict(model_dict.get("RefFrames"), train),
+    )
+
+
+def build_model_from_config(
+    model_dict: Dict[str, Any], num_in_feats: int, num_classes: int
+):
+    """``Model.model`` preset name -> flax module (the analogue of the
+    reference's importlib model lookup, ``train_dfaust_rot.py:82-88``)."""
+    name = model_dict["model"]
+    overrides = {}
+    if "max_neighbors" in model_dict:
+        overrides["max_neighbors"] = int(model_dict["max_neighbors"])
+    if "max_drop_path" in model_dict:
+        overrides["max_path_drop"] = float(model_dict["max_drop_path"])
+    spec = get_model_spec(name, **overrides)
+    if name in SEG_PRESETS:
+        return FPNSegUNet(spec, num_in_feats=num_in_feats, num_classes=num_classes)
+    if name in CLASS_PRESETS:
+        return ClassNet(spec, num_in_feats=num_in_feats, num_classes=num_classes)
+    raise KeyError(name)

@@ -1,0 +1,151 @@
+"""Test-time evaluation with logit voting and segment smoothing.
+
+Counterpart of the reference evaluation CLIs (SURVEY §3.3):
+
+  * ``test_dfaust_rot.py:293-315`` / ``test_scannet_rot.py:294-312`` —
+    accumulate per-scene logits at full resolution over ``vote_epochs``
+    passes, re-drawing augmentations (via the aug pipelines' epoch
+    counters) and reference frames each pass;
+  * ``test_scannet_rot.py:314-329`` — segment smoothing: mean the
+    accumulated logits over ScanNet segment ids and broadcast back;
+  * ``test_rot.py:111-156`` — classification voting over epochs and a
+    checkpoint ensemble.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..data.loaders import pad_collate
+from .metrics import SemSegMetrics
+
+__all__ = ["SegmentationVoter", "ClassificationVoter", "segment_smooth"]
+
+
+def segment_smooth(logits: np.ndarray, segments: np.ndarray) -> np.ndarray:
+    """Mean logits per segment id, broadcast back to points
+    (reference ``test_scannet_rot.py:314-329``)."""
+    n_seg = int(segments.max()) + 1
+    sums = np.zeros((n_seg, logits.shape[-1]), logits.dtype)
+    np.add.at(sums, segments, logits)
+    counts = np.bincount(segments, minlength=n_seg)[:, None]
+    return (sums / np.maximum(counts, 1))[segments]
+
+
+class SegmentationVoter:
+    """Full-resolution logit voting over re-drawn augs/frames.
+
+    Args:
+      trainer: a ``Trainer`` (its eval step returns out_idx when the config
+        subsamples the output cloud).
+      dataset: segmentation dataset; scenes expose full-resolution labels
+        (and optionally segments) with augmentations re-drawn per epoch.
+      capacity: static pad capacity for single-scene batches.
+    """
+
+    def __init__(self, trainer, dataset, num_classes: int, capacity: int):
+        self.trainer = trainer
+        self.dataset = dataset
+        self.num_classes = num_classes
+        self.capacity = capacity
+        self.accum: List[Optional[np.ndarray]] = [None] * len(dataset)
+
+    def run_epoch(self, state, epoch: int):
+        self.dataset.increase_epoch_counter()
+        for i in range(len(self.dataset)):
+            sample = self.dataset[i]
+            n_raw = sample["positions"].shape[0]
+            keep = {
+                k: v
+                for k, v in sample.items()
+                if k in ("positions", "features", "labels")
+            }
+            batch = pad_collate([keep], capacity=self.capacity)
+            out = self.trainer.eval_step(
+                state, batch, jax.random.PRNGKey(epoch * 100003 + i)
+            )
+            logits = np.asarray(jax.device_get(out["logits"]))[0]
+            mask = np.asarray(jax.device_get(out["mask"]))[0]
+            if "out_idx" in out:
+                idx = np.asarray(jax.device_get(out["out_idx"]))[0]
+            else:
+                idx = np.arange(self.capacity)
+            valid_ids = sample.get("valid_ids")
+            full_n = (
+                self.dataset.get_num_pts(i)
+                if hasattr(self.dataset, "get_num_pts")
+                else n_raw
+            )
+            if self.accum[i] is None:
+                self.accum[i] = np.zeros((full_n, self.num_classes), np.float64)
+            rows = np.nonzero(mask)[0]
+            idx_m = idx[rows]
+            ok = idx_m < n_raw
+            orig = idx_m[ok]
+            if valid_ids is not None:
+                orig = valid_ids[orig]
+            np.add.at(self.accum[i], orig, logits[rows[ok]])
+
+    def metrics(
+        self,
+        full_labels: Sequence[np.ndarray],
+        segments: Optional[Sequence[np.ndarray]] = None,
+        class_mask=None,
+        smooth: bool = False,
+    ):
+        m = SemSegMetrics.empty(self.num_classes)
+        import jax.numpy as jnp
+
+        for i, labels in enumerate(full_labels):
+            logits = self.accum[i]
+            if logits is None:
+                continue
+            if smooth and segments is not None:
+                logits = segment_smooth(logits, segments[i])
+            voted = logits.argmax(-1)
+            seen = logits.sum(-1) != 0
+            m = m.update(jnp.asarray(voted), jnp.asarray(labels), jnp.asarray(seen))
+        return m.summary(class_mask)
+
+
+class ClassificationVoter:
+    """Logit voting over epochs x checkpoint ensemble
+    (reference ``test_rot.py:111-156``)."""
+
+    def __init__(self, trainer, dataset, num_classes: int, capacity: int,
+                 batch_size: int = 8):
+        self.trainer = trainer
+        self.dataset = dataset
+        self.num_classes = num_classes
+        self.capacity = capacity
+        self.batch_size = batch_size
+        self.accum = np.zeros((len(dataset), num_classes), np.float64)
+        self.labels = np.zeros((len(dataset),), np.int64)
+
+    def run_epoch(self, states, epoch: int):
+        """``states``: list of TrainStates (checkpoint ensemble)."""
+        self.dataset.increase_epoch_counter()
+        n = len(self.dataset)
+        for start in range(0, n, self.batch_size):
+            idx = list(range(start, min(start + self.batch_size, n)))
+            samples = [self.dataset[i] for i in idx]
+            batch = pad_collate(
+                [
+                    {"positions": s["positions"], "features": s["features"],
+                     "labels": s["label"]}
+                    for s in samples
+                ],
+                capacity=self.capacity,
+            )
+            for state in states:
+                out = self.trainer.eval_step(
+                    state, batch, jax.random.PRNGKey(epoch * 99991 + start)
+                )
+                logits = np.asarray(jax.device_get(out["logits"]))
+                self.accum[idx] += logits[: len(idx)]
+            self.labels[idx] = [int(s["label"]) for s in samples]
+
+    def accuracy(self) -> float:
+        return float((self.accum.argmax(-1) == self.labels).mean())

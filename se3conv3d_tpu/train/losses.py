@@ -1,0 +1,57 @@
+"""Losses for segmentation / classification training.
+
+The reference trains everything with
+``torch.nn.CrossEntropyLoss(label_smoothing=...)`` (e.g.
+``tasks/SemSeg/train_dfaust_rot.py:530-557``); segmentation additionally
+needs masking of padded output points and of ignored classes (ScanNet's
+masked labels, reference ``loaders/ScanNet.py:230-237``).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["softmax_cross_entropy", "masked_segmentation_loss", "classification_loss"]
+
+
+def softmax_cross_entropy(
+    logits: jnp.ndarray, labels: jnp.ndarray, label_smoothing: float = 0.0
+) -> jnp.ndarray:
+    """Per-element cross entropy with label smoothing (torch semantics:
+    smoothed target = (1-s) * onehot + s / C)."""
+    num_classes = logits.shape[-1]
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=logits.dtype)
+    target = onehot * (1.0 - label_smoothing) + label_smoothing / num_classes
+    return -jnp.sum(target * log_probs, axis=-1)
+
+
+def masked_segmentation_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    mask: jnp.ndarray,
+    label_smoothing: float = 0.0,
+    ignore_label: Optional[int] = None,
+) -> jnp.ndarray:
+    """Mean cross entropy over valid (and non-ignored) output points.
+
+    Args:
+      logits: ``[B, M, C]``; labels: ``[B, M]``; mask: ``[B, M]``.
+    """
+    valid = mask
+    if ignore_label is not None:
+        valid = valid & (labels != ignore_label)
+    safe_labels = jnp.where(valid, labels, 0)
+    ce = softmax_cross_entropy(logits, safe_labels, label_smoothing)
+    total = jnp.sum(jnp.where(valid, ce, 0.0))
+    count = jnp.maximum(jnp.sum(valid), 1)
+    return total / count.astype(ce.dtype)
+
+
+def classification_loss(
+    logits: jnp.ndarray, labels: jnp.ndarray, label_smoothing: float = 0.0
+) -> jnp.ndarray:
+    """Mean cross entropy over the batch (``[B, C]`` logits)."""
+    return jnp.mean(softmax_cross_entropy(logits, labels, label_smoothing))

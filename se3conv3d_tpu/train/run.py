@@ -1,0 +1,275 @@
+"""End-to-end training / evaluation driver (the reference task scripts,
+re-built around jitted steps).
+
+The per-epoch skeleton mirrors ``tasks/SemSeg/train_dfaust_rot.py:436-683``:
+config parse -> data -> model -> calibration ("pre-process") pass ->
+epochs of train steps with OneCycle stepped per iteration -> periodic
+validation + checkpoints.  Differences are TPU-native by design: batches
+are padded to static shapes, the whole per-batch pipeline (hierarchy build
+included) is one compiled step, and an optional device mesh shards the
+batch axis (SURVEY §5).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from ..core.hierarchy import HierarchyConfig
+from ..data import (
+    DFaustDataset,
+    MaxPointsBatchSampler,
+    ModelNet40Dataset,
+    ScanNetDataset,
+    mix3d_merge,
+    pad_collate,
+)
+from ..parallel.mesh import make_mesh, shard_batch
+from .checkpoint import CheckpointManager
+from .config import (
+    build_model_from_config,
+    hierarchy_config_from_model_dict,
+    load_augmentations,
+    load_yaml_config,
+)
+from .metrics import SemSegMetrics, accuracy
+from .schedule import make_optimizer
+from .trainer import Trainer, TrainSettings
+
+__all__ = ["Experiment", "make_datasets"]
+
+_NUM_CLASSES = {"dfaust": 20, "scannet20": 21, "scannet200": 201, "modelnet40": 40}
+
+
+def make_datasets(ds_cfg: dict, data_folder: str, split: str):
+    """Instantiate the dataset named by the ``Dataset`` section."""
+    name = ds_cfg["dataset"]
+    train = split == "train"
+    aug_key = "train_aug_file" if train else "test_aug_file"
+    augs = load_augmentations(ds_cfg.get(aug_key))
+    if name == "modelnet40":
+        return ModelNet40Dataset(
+            data_folder, augs, num_pts=int(ds_cfg.get("num_points", 1024)),
+            split="train" if train else "test",
+        )
+    if name == "dfaust":
+        return DFaustDataset(
+            data_folder, augs, num_pts=int(ds_cfg.get("num_points", 4096)),
+            split="train" if train else "test",
+        )
+    if name in ("scannet20", "scannet200"):
+        color_key = "train_aug_color_file" if train else "test_aug_color_file"
+        return ScanNetDataset(
+            data_folder,
+            dataset=name,
+            augmentations=augs,
+            color_augmentations=load_augmentations(ds_cfg.get(color_key)),
+            prob_mix3d=float(ds_cfg.get("prob_mix3d", 0.0)) if train else 0.0,
+            split=ds_cfg.get("train_split", "train") if train
+            else ds_cfg.get("test_split", "val"),
+        )
+    raise KeyError(name)
+
+
+class Experiment:
+    """One training run driven by a reference-schema YAML config."""
+
+    def __init__(
+        self,
+        conf_file: str,
+        data_folder: str,
+        n_devices: Optional[int] = None,
+        log_folder: Optional[str] = None,
+    ):
+        self.cfg = load_yaml_config(conf_file)
+        self.tr = self.cfg["Training"]
+        self.ds_cfg = self.cfg["Dataset"]
+        self.md = self.cfg["Model"]
+        self.data_folder = data_folder
+        self.dataset_name = self.ds_cfg["dataset"]
+        self.task = (
+            "classification" if self.dataset_name == "modelnet40" else "segmentation"
+        )
+        self.num_classes = _NUM_CLASSES[self.dataset_name]
+        self.log_folder = log_folder or self.tr.get("log_folder", "./logs/run")
+
+        self.train_ds = make_datasets(self.ds_cfg, data_folder, "train")
+        self.val_ds = make_datasets(self.ds_cfg, data_folder, "val")
+
+        sample = self.train_ds[0]
+        self.num_in_feats = sample["features"].shape[-1]
+        self.capacity = self._batch_capacity()
+
+        self.hcfg: HierarchyConfig = hierarchy_config_from_model_dict(
+            self.md, self.capacity, train=True,
+            with_output=self.task == "segmentation",
+        )
+        self.model = build_model_from_config(
+            self.md, self.num_in_feats, self.num_classes
+        )
+
+        steps_per_epoch = self._steps_per_epoch()
+        total_steps = steps_per_epoch * int(self.tr["num_epochs"])
+        tx = make_optimizer(
+            max_lr=float(self.tr["max_lr"]),
+            total_steps=max(total_steps, 1),
+            weight_decay=float(self.tr.get("weight_decay", 0.0)),
+            clip_grad_norm=self.tr.get("clip_grads"),
+            accum_steps=int(self.tr.get("accum_grads", 1)),
+            pct_start=float(self.tr.get("pct_start", 0.3)),
+        )
+        settings = TrainSettings(
+            label_smoothing=float(self.tr.get("label_smoothing", 0.0)),
+            ignore_label=0 if self.dataset_name.startswith("scannet") else None,
+            task=self.task,
+        )
+        self.mesh = make_mesh(n_devices) if n_devices else None
+        self.trainer = Trainer(self.model, self.hcfg, tx, settings, mesh=self.mesh)
+        self.steps_per_epoch = steps_per_epoch
+        self.ckpt = CheckpointManager(os.path.join(self.log_folder, "ckpt"))
+        self.rng = np.random.default_rng(0)
+
+    # ------------------------------------------------------------- batching
+    def _batch_capacity(self) -> int:
+        if self.dataset_name.startswith("scannet"):
+            return int(self.md.get("out_capacity", 131072))
+        return int(self.ds_cfg.get("num_points", 4096))
+
+    def _steps_per_epoch(self) -> int:
+        if self.dataset_name.startswith("scannet"):
+            return int(self.tr.get("num_batches", 250))
+        bs = int(self.tr["batch_size"])
+        return max(len(self.train_ds) // bs, 1)
+
+    def _batches(self, dataset, train: bool) -> Iterator[dict]:
+        """Host-side batch stream of padded arrays."""
+        if self.dataset_name.startswith("scannet"):
+            sampler = MaxPointsBatchSampler(
+                num_batches=self.steps_per_epoch if train else len(dataset),
+                max_points_per_batch=int(self.tr.get("pts_per_batch", 750000)),
+                dataset=dataset,
+                max_scene_pts=int(self.ds_cfg.get("train_scene_max_pts", 0))
+                if train else 0,
+                pts_crop_ratio=float(self.ds_cfg.get("train_scene_crop_ratio", 1.0))
+                if train else 1.0,
+                seed=int(self.rng.integers(1 << 31)),
+            )
+            for scene_ids in sampler:
+                samples = [dataset[i] for i in scene_ids]
+                samples = mix3d_merge(samples)
+                keep = ("positions", "features", "labels", "scene_id")
+                samples = [
+                    {k: v for k, v in s.items() if k in keep} for s in samples
+                ]
+                yield pad_collate(samples, capacity=self.capacity)
+        else:
+            bs = int(self.tr["batch_size"])
+            order = self.rng.permutation(len(dataset)) if train else np.arange(
+                len(dataset)
+            )
+            for i in range(0, len(order) - bs + 1 if train else len(order), bs):
+                idx = order[i : i + bs]
+                samples = [dataset[j] for j in idx]
+                yield pad_collate(samples, capacity=self.capacity)
+
+    def _put(self, batch):
+        if self.mesh is not None:
+            return shard_batch(self.mesh, batch)
+        return batch
+
+    # --------------------------------------------------------------- phases
+    def init_state(self):
+        batch = self._put(next(self._batches(self.train_ds, True)))
+        return self.trainer.init(jax.random.PRNGKey(0), batch)
+
+    def calibrate(self, state, num_batches: int = 10):
+        """The reference's pre-process epoch (``train_dfaust_rot.py:172-218``)
+        — EMA calibration of conv normalisation buffers; with the direct-set
+        first step a handful of batches suffices."""
+        for i, batch in enumerate(self._batches(self.train_ds, True)):
+            if i >= num_batches:
+                break
+            state = self.trainer.calibration_step(
+                state, self._put(batch), jax.random.PRNGKey(i)
+            )
+        return state
+
+    def train_epoch(self, state, epoch: int):
+        losses = []
+        t0 = time.time()
+        for i, batch in enumerate(self._batches(self.train_ds, True)):
+            if i >= self.steps_per_epoch:
+                break
+            state, metrics = self.trainer.train_step(
+                state, self._put(batch), jax.random.PRNGKey(epoch)
+            )
+            losses.append(metrics["loss"])
+        losses = [float(l) for l in jax.device_get(losses)]
+        return state, {
+            "loss": float(np.mean(losses)) if losses else float("nan"),
+            "epoch_time_s": time.time() - t0,
+        }
+
+    def validate(self, state):
+        if self.task == "classification":
+            correct, total = 0.0, 0
+            for batch in self._batches(self.val_ds, False):
+                out = self.trainer.eval_step(
+                    state, self._put(batch), jax.random.PRNGKey(0)
+                )
+                acc = float(accuracy(out["logits"], out["labels"]))
+                bsz = out["labels"].shape[0]
+                correct += acc * bsz
+                total += bsz
+            return {"accuracy": correct / max(total, 1)}
+        metrics = SemSegMetrics.empty(self.num_classes)
+        for batch in self._batches(self.val_ds, False):
+            out = self.trainer.eval_step(
+                state, self._put(batch), jax.random.PRNGKey(0)
+            )
+            pred = np.argmax(jax.device_get(out["logits"]), -1)
+            labels = jax.device_get(out["labels"])
+            mask = jax.device_get(out["mask"])
+            metrics = metrics.update(pred, labels, mask)
+        class_mask = None
+        if self.dataset_name.startswith("scannet"):
+            class_mask = np.ones(self.num_classes, bool)
+            class_mask[0] = False  # unannotated
+        return metrics.summary(class_mask)
+
+    # ------------------------------------------------------------------ run
+    def run(self, resume: bool = False, max_epochs: Optional[int] = None):
+        state = self.init_state()
+        start_epoch = 0
+        if resume:
+            restored, meta = self.ckpt.restore(state)
+            if restored is not None:
+                state = restored
+                start_epoch = (meta or {}).get("epoch", 0) + 1
+        if start_epoch == 0:
+            state = self.calibrate(state)
+
+        num_epochs = int(self.tr["num_epochs"])
+        if max_epochs is not None:
+            num_epochs = min(num_epochs, start_epoch + max_epochs)
+        val_freq = int(self.tr.get("val_freq", 5))
+        save_freq = int(self.tr.get("save_models_frequency", 50))
+        best = -float("inf")
+        for epoch in range(start_epoch, num_epochs):
+            state, train_metrics = self.train_epoch(state, epoch)
+            line = f"epoch {epoch}: loss={train_metrics['loss']:.4f} " \
+                   f"({train_metrics['epoch_time_s']:.1f}s)"
+            if (epoch + 1) % val_freq == 0 or epoch == num_epochs - 1:
+                val = self.validate(state)
+                key = "accuracy" if self.task == "classification" else "miou"
+                line += f" val_{key}={val[key]:.4f}"
+                if val[key] > best:
+                    best = val[key]
+                    self.ckpt.save(epoch, state, {"epoch": epoch, "best": best})
+            elif (epoch + 1) % save_freq == 0:
+                self.ckpt.save(epoch, state, {"epoch": epoch, "best": best})
+            print(line, flush=True)
+        return state

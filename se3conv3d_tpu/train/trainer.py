@@ -1,0 +1,233 @@
+"""Jitted train / eval / calibration steps (single-chip or mesh-sharded).
+
+The per-batch pipeline of the reference training scripts
+(``tasks/SemSeg/train_dfaust_rot.py:222-298``) — hierarchy build, forward,
+loss, backward, optimizer/scheduler step — compiled into ONE XLA program.
+Data parallelism: pass a ``Mesh`` and the step is jitted with the batch
+sharded over the ``data`` axis and state replicated; GSPMD inserts the
+gradient all-reduces (the TPU-native replacement for the reference's
+single-GPU loop, SURVEY §5 "distributed communication backend").
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh
+
+from ..core.hierarchy import HierarchyConfig, build_hierarchy
+from ..parallel.mesh import batch_sharding, replicated
+from .losses import classification_loss, masked_segmentation_loss
+
+__all__ = ["TrainState", "Trainer", "TrainSettings"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    calib: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainSettings:
+    """Static training hyperparameters (the ``Training`` YAML section of the
+    reference configs)."""
+
+    label_smoothing: float = 0.0
+    ignore_label: Optional[int] = None
+    task: str = "segmentation"  # or "classification"
+
+
+class Trainer:
+    """Builds and caches the jitted steps for one (model, hierarchy) config.
+
+    Args:
+      model: ``FPNSegUNet`` or ``ClassNet`` flax module.
+      hierarchy_config: static hierarchy spec (frames included).
+      tx: optax transformation (see ``schedule.make_optimizer``).
+      settings: loss settings.
+      mesh: optional device mesh for data-parallel sharding.
+
+    Batch dicts carry ``positions [B,N,3]``, ``mask [B,N]``,
+    ``features [B,N,C]`` and ``labels`` (``[B,N]`` int for segmentation —
+    aligned with the raw points — or ``[B]`` for classification).
+    """
+
+    def __init__(
+        self,
+        model,
+        hierarchy_config: HierarchyConfig,
+        tx: optax.GradientTransformation,
+        settings: TrainSettings = TrainSettings(),
+        mesh: Optional[Mesh] = None,
+    ):
+        self.model = model
+        self.hcfg = hierarchy_config
+        self.tx = tx
+        self.settings = settings
+        self.mesh = mesh
+        self._jit_kwargs = {}
+        if mesh is not None:
+            rep = replicated(mesh)
+            sh = batch_sharding(mesh)
+            self._jit_kwargs = dict(
+                in_shardings=(rep, sh, rep), out_shardings=None
+            )
+        self._train_step = jax.jit(self._train_step_impl, **self._jit_kwargs)
+        self._eval_step = jax.jit(self._eval_step_impl, **self._jit_kwargs)
+        self._calib_step = jax.jit(self._calib_step_impl, **self._jit_kwargs)
+        self._init = jax.jit(self._init_impl)
+
+    # ------------------------------------------------------------------ init
+    def _init_impl(self, rng: jax.Array, example_batch: dict) -> TrainState:
+        h, f0, out_pc, _, _ = self._build(rng, example_batch)
+        variables = self.model.init(
+            {"params": rng, "droppath": rng}, *self._model_args(h, f0, out_pc),
+            train=False,
+        )
+        params = variables["params"]
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            calib=variables.get("calib", {}),
+            opt_state=self.tx.init(params),
+        )
+
+    def init(self, rng: jax.Array, example_batch: dict) -> TrainState:
+        """Jitted initialisation — eager flax init would dispatch thousands
+        of tiny ops one by one (prohibitive over a remote-device tunnel)."""
+        return self._init(rng, example_batch)
+
+    # -------------------------------------------------------------- plumbing
+    @property
+    def _equivariant(self) -> bool:
+        return self.hcfg.frames is not None
+
+    def _build(self, key: jax.Array, batch: dict):
+        labels = batch.get("labels")
+        seg = self.settings.task == "segmentation"
+        h, f0, out_pc, out_labels, raw_to_out = build_hierarchy(
+            key,
+            batch["positions"],
+            batch["mask"],
+            batch.get("features"),
+            self.hcfg,
+            labels if seg else None,
+        )
+        if not seg:
+            out_labels = labels
+        if self._equivariant and f0 is not None:
+            f0 = jnp.repeat(
+                f0[:, :, None, :], self.hcfg.frames.n_frames, axis=2
+            )
+        return h, f0, out_pc, out_labels, raw_to_out
+
+    def _model_args(self, h, f0, out_pc):
+        if self.settings.task == "segmentation":
+            return (h, f0, out_pc)
+        return (h, f0)
+
+    def _loss(self, logits, out_labels, out_pc):
+        if self.settings.task == "segmentation":
+            return masked_segmentation_loss(
+                logits,
+                out_labels,
+                out_pc.mask,
+                self.settings.label_smoothing,
+                self.settings.ignore_label,
+            )
+        return classification_loss(
+            logits, out_labels, self.settings.label_smoothing
+        )
+
+    # ----------------------------------------------------------------- steps
+    def _train_step_impl(self, state: TrainState, batch: dict, rng: jax.Array):
+        rng_h, rng_d = jax.random.split(jax.random.fold_in(rng, state.step))
+        h, f0, out_pc, out_labels, _ = self._build(rng_h, batch)
+
+        def loss_fn(params):
+            out, mutated = self.model.apply(
+                {
+                    "params": params,
+                    "batch_stats": state.batch_stats,
+                    "calib": state.calib,
+                },
+                *self._model_args(h, f0, out_pc),
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"droppath": rng_d},
+            )
+            return self._loss(out, out_labels, out_pc), (mutated, out)
+
+        (loss, (mutated, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=mutated["batch_stats"],
+            opt_state=new_opt,
+        )
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    def _eval_step_impl(self, state: TrainState, batch: dict, rng: jax.Array):
+        h, f0, out_pc, out_labels, raw_to_out = self._build(rng, batch)
+        logits = self.model.apply(
+            {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "calib": state.calib,
+            },
+            *self._model_args(h, f0, out_pc),
+            train=False,
+        )
+        loss = self._loss(logits, out_labels, out_pc)
+        out = {
+            "loss": loss,
+            "logits": logits,
+            "labels": out_labels,
+            "mask": out_pc.mask,
+        }
+        if raw_to_out is not None:
+            # Index of the raw input point each output point came from —
+            # lets voting evaluators scatter logits back to full resolution
+            # (reference ``test_scannet_rot.py:170-173``).
+            out["out_idx"] = raw_to_out.chosen_idx
+        return out
+
+    def _calib_step_impl(self, state: TrainState, batch: dict, rng: jax.Array):
+        """One calibration step: EMA-update the conv normalisation buffers
+        (the reference's pre-process epoch, ``train_dfaust_rot.py:172-218``)."""
+        h, f0, out_pc, _, _ = self._build(rng, batch)
+        _, mutated = self.model.apply(
+            {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "calib": state.calib,
+            },
+            *self._model_args(h, f0, out_pc),
+            train=False,
+            calibrate=True,
+            mutable=["calib"],
+        )
+        return state.replace(calib=mutated["calib"])
+
+    # ------------------------------------------------------------ public API
+    def train_step(self, state, batch, rng):
+        return self._train_step(state, batch, rng)
+
+    def eval_step(self, state, batch, rng):
+        return self._eval_step(state, batch, rng)
+
+    def calibration_step(self, state, batch, rng):
+        return self._calib_step(state, batch, rng)

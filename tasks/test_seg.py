@@ -1,0 +1,63 @@
+"""Segmentation evaluation CLI with voting + optional segment smoothing.
+
+Counterpart of reference ``tasks/SemSeg/test_dfaust_rot.py`` /
+``test_scannet_rot.py``: load a checkpoint, run ``--vote_epochs`` passes
+with re-drawn augmentations/frames, accumulate full-resolution logits,
+report point-wise (and segment-smoothed) mIoU.
+"""
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from se3conv3d_tpu.train.evaluate import SegmentationVoter  # noqa: E402
+from se3conv3d_tpu.train.run import Experiment, make_datasets  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--conf_file", required=True)
+    ap.add_argument("--data_folder", required=True)
+    ap.add_argument("--vote_epochs", type=int, default=30)
+    ap.add_argument("--smooth_segments", action="store_true")
+    ap.add_argument("--log_folder", default=None)
+    args = ap.parse_args()
+
+    exp = Experiment(args.conf_file, args.data_folder, log_folder=args.log_folder)
+    state = exp.init_state()
+    restored, _ = exp.ckpt.restore(state)
+    if restored is None:
+        raise SystemExit(f"no checkpoint under {exp.log_folder}/ckpt")
+    state = restored
+
+    voter = SegmentationVoter(exp.trainer, exp.val_ds, exp.num_classes, exp.capacity)
+    for epoch in range(args.vote_epochs):
+        voter.run_epoch(state, epoch)
+        print(f"vote epoch {epoch + 1}/{args.vote_epochs}", flush=True)
+
+    if hasattr(exp.val_ds, "scenes"):
+        full_labels = [s["labels"] for s in exp.val_ds.scenes]
+        segments = (
+            [s.get("segments") for s in exp.val_ds.scenes]
+            if args.smooth_segments
+            else None
+        )
+    else:
+        full_labels = [exp.val_ds[i]["labels"] for i in range(len(exp.val_ds))]
+        segments = None
+    class_mask = None
+    if exp.dataset_name.startswith("scannet"):
+        class_mask = np.ones(exp.num_classes, bool)
+        class_mask[0] = False
+    summary = voter.metrics(
+        full_labels, segments, class_mask, smooth=args.smooth_segments
+    )
+    print(f"mIoU: {summary['miou']:.4f}  mAcc: {summary['macc']:.4f}  "
+          f"OA: {summary['overall_acc']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -214,11 +214,24 @@ def test_calibration_ema():
     feats = jnp.ones((1, 16, 3))
     variables = conv.init({"params": jax.random.PRNGKey(0)}, pc, pc, feats, nb)
     calib = variables["calib"]
-    assert float(calib["norm_neigh_dist"]) == 0.0
+    # Non-degenerate default: 1.0 (not the reference's 0 — see conv.py).
+    assert float(calib["norm_neigh_dist"]) == 1.0
+    assert not bool(calib["initialized"])
     _, upd = conv.apply(variables, pc, pc, feats, nb, calibrate=True, mutable=["calib"])
-    # EMA from zero: 0.1 * new
-    np.testing.assert_allclose(float(upd["calib"]["norm_neigh_dist"]), 0.1 * (1 / 0.5), rtol=1e-5)
+    # First calibration step direct-sets to the observed value.
+    np.testing.assert_allclose(
+        float(upd["calib"]["norm_neigh_dist"]), 1 / 0.5, rtol=1e-5
+    )
     edges = float(jnp.sum(nb.mask))
     np.testing.assert_allclose(
-        float(upd["calib"]["norm_num_neighs"]), 0.1 * (16.0 / edges), rtol=1e-5
+        float(upd["calib"]["norm_num_neighs"]), 16.0 / edges, rtol=1e-5
+    )
+    # Second step applies the reference's 0.9/0.1 EMA (IConvLayer.py:91-97);
+    # same inputs -> values unchanged.
+    _, upd2 = conv.apply(
+        {**variables, "calib": upd["calib"]}, pc, pc, feats, nb,
+        calibrate=True, mutable=["calib"],
+    )
+    np.testing.assert_allclose(
+        float(upd2["calib"]["norm_neigh_dist"]), 1 / 0.5, rtol=1e-5
     )
