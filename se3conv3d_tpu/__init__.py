@@ -9,4 +9,4 @@ classification nets), data pipelines and a sharded training harness.
 
 __version__ = "0.1.0"
 
-from . import core, nn, models, ops, parallel, train
+from . import core, data, nn, models, ops, parallel, train, utils

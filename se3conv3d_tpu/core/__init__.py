@@ -34,3 +34,4 @@ from .hierarchy import (
     attach_frames,
     build_hierarchy,
 )
+from .fps import FPSMap, fps_subsample, fps_subsample_cloud

@@ -30,7 +30,12 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .frames import pca_frames, random_frames, shuffle_and_select_frames
+from .frames import (
+    global_pca_frames,
+    pca_frames,
+    random_frames,
+    shuffle_and_select_frames,
+)
 from .grid import SubsampleMap, build_grid_subsample
 from .neighborhoods import ball_query_neighborhood, knn_neighborhood
 from .pointcloud import PointCloud
@@ -60,6 +65,7 @@ class FrameConfig:
     neigh_method: str = "knn"
     neigh_k: int = 16
     bq_radius: float = 0.0
+    global_frames: bool = False
 
     def with_n_frames(self, n: int) -> "FrameConfig":
         return dataclasses.replace(self, n_frames=n)
@@ -155,6 +161,17 @@ def attach_frames(
     b, n = pc.mask.shape
     if not cfg.pca:
         frames = random_frames(key, b, n, cfg.n_frames, cfg.fixed_axis)
+        return pc.with_frames(frames)
+
+    if cfg.global_frames:
+        # One PCA frame set per batch element from all valid points,
+        # shared by every point (reference ``PointcloudRotEquiv.py:80-126``
+        # via ``sample_global_reference_frames_pca``).
+        candidates = global_pca_frames(pc.positions, pc.mask)  # [B, 4, 3, 3]
+        frames = shuffle_and_select_frames(key, candidates, cfg.n_frames)
+        frames = jnp.broadcast_to(
+            frames[:, None], (b, n) + frames.shape[1:]
+        )
         return pc.with_frames(frames)
 
     if cfg.neigh_method == "knn":

@@ -62,6 +62,7 @@ class ModelSpec:
     num_knn_dec: int = 16
     fpn_dec_feats: int = 128
     num_hidden_seg_head: int = 0
+    seg_head_feats: int = 128  # plain SegUNet head width (reference SegUNet.py:27)
 
     # Stochastic depth.
     max_path_drop: float = 0.2

@@ -9,3 +9,4 @@ from .blocks import (
     TorchLinear,
 )
 from .icosphere import icosphere_points
+from .attention import LoRAttConv, MultiHeadAttConv

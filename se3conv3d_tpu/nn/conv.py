@@ -91,6 +91,9 @@ class PNEConv(nn.Module):
     equivariant: bool = False
     rel_rot_type: str = "6D"
     aggregation: str = "add"
+    # 'bfloat16' runs the conv einsums with bf16 multiplies + f32
+    # accumulation on the MXU; None keeps full f32.
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -170,6 +173,7 @@ class PNEConv(nn.Module):
         norm_neighs = jax.lax.stop_gradient(norm_neighs_var.value)
         act = ops.pne_activation(self.pne_type) if "mlp" in self.pne_type else None
 
+        cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         if self.equivariant:
             geo = ops.equiv_geometry(
                 pc_in, pc_out, neigh, norm_dist, self.rel_rot_type
@@ -177,7 +181,8 @@ class PNEConv(nn.Module):
             pne = ops.linear_pne(geo, proj_axes, proj_biases, act)
             pne = pne * neigh.mask[:, :, :, None, None, None]
             return ops.equiv_basis_conv(
-                pne, features, neigh, conv_weights, norm_neighs
+                pne, features, neigh, conv_weights, norm_neighs,
+                compute_dtype=cdt,
             )
 
         rel = ops.relative_offsets(pc_in, pc_out, neigh, norm_dist)
@@ -201,7 +206,9 @@ class PNEConv(nn.Module):
             out = jnp.where(jnp.any(neigh.mask, axis=2)[..., None], out, 0.0)
             return out * norm_neighs
 
-        return ops.basis_conv(pne, features, neigh, conv_weights, norm_neighs)
+        return ops.basis_conv(
+            pne, features, neigh, conv_weights, norm_neighs, compute_dtype=cdt
+        )
 
 
 @dataclass(frozen=True)
@@ -214,6 +221,7 @@ class ConvFactory:
     equivariant: bool = False
     rel_rot_type: str = "6D"
     aggregation: str = "add"
+    compute_dtype: Optional[str] = None
 
     def make(self, in_features: int, out_features: int, name: Optional[str] = None) -> PNEConv:
         return PNEConv(
@@ -224,5 +232,6 @@ class ConvFactory:
             equivariant=self.equivariant,
             rel_rot_type=self.rel_rot_type,
             aggregation=self.aggregation,
+            compute_dtype=self.compute_dtype,
             name=name,
         )

@@ -1,0 +1,1 @@
+from .fused_conv import fused_basis_conv, fused_equiv_basis_conv

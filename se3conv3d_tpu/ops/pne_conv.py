@@ -125,6 +125,7 @@ def basis_conv(
     neigh: Neighborhood,
     conv_weights: jnp.ndarray,
     norm_num_neighs: jnp.ndarray,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Standard (non-equivariant) basis-projection convolution.
 
@@ -142,10 +143,23 @@ def basis_conv(
     Returns:
       ``[B, M, Co]``.
     """
+    out_dtype = features.dtype
     gathered = _gather_neighbors(features, neigh.idx)  # [B, M, K, Ci]
-    basis = jnp.einsum("bmkc,bmkq->bmcq", gathered, pne)  # segment outer product
-    out = jnp.einsum("bmcq,cqo->bmo", basis, conv_weights)
-    return out * norm_num_neighs
+    if compute_dtype is not None:
+        # bf16 multiplies on the MXU with f32 accumulation — the TPU-native
+        # mixed-precision path (results cast back to the input dtype).
+        gathered = gathered.astype(compute_dtype)
+        pne = pne.astype(compute_dtype)
+        conv_weights = conv_weights.astype(compute_dtype)
+    basis = jnp.einsum(
+        "bmkc,bmkq->bmcq", gathered, pne, preferred_element_type=jnp.float32
+    )  # segment outer product
+    if compute_dtype is not None:
+        basis = basis.astype(compute_dtype)
+    out = jnp.einsum(
+        "bmcq,cqo->bmo", basis, conv_weights, preferred_element_type=jnp.float32
+    )
+    return out.astype(out_dtype) * norm_num_neighs
 
 
 def equiv_geometry(
@@ -199,6 +213,7 @@ def equiv_basis_conv(
     neigh: Neighborhood,
     conv_weights: jnp.ndarray,
     norm_num_neighs: jnp.ndarray,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Rot-equivariant basis-projection convolution.
 
@@ -218,7 +233,18 @@ def equiv_basis_conv(
       ``[B, M, G, Co]``.
     """
     f_in = features.shape[2]
+    out_dtype = features.dtype
     gathered = _gather_neighbors(features, neigh.idx)  # [B, M, K, F, Ci]
-    basis = jnp.einsum("bmkfc,bmkgfq->bmgcq", gathered, pne)
-    out = jnp.einsum("bmgcq,cqo->bmgo", basis, conv_weights)
-    return out * (norm_num_neighs / f_in)
+    if compute_dtype is not None:
+        gathered = gathered.astype(compute_dtype)
+        pne = pne.astype(compute_dtype)
+        conv_weights = conv_weights.astype(compute_dtype)
+    basis = jnp.einsum(
+        "bmkfc,bmkgfq->bmgcq", gathered, pne, preferred_element_type=jnp.float32
+    )
+    if compute_dtype is not None:
+        basis = basis.astype(compute_dtype)
+    out = jnp.einsum(
+        "bmgcq,cqo->bmgo", basis, conv_weights, preferred_element_type=jnp.float32
+    )
+    return out.astype(out_dtype) * (norm_num_neighs / f_in)

@@ -132,6 +132,32 @@ class Experiment:
         self.ckpt = CheckpointManager(os.path.join(self.log_folder, "ckpt"))
         self.rng = np.random.default_rng(0)
 
+        # mix_n_frames: per-batch random frame count (reference
+        # ``train_dfaust_rot.py:119-125``).  Each F is a separate static
+        # shape -> one jitted trainer per F, all sharing the same state
+        # (parameters are frame-count independent).
+        self._tx = tx
+        self._settings = settings
+        mix = (self.md.get("RefFrames") or {}).get("mix_n_frames")
+        self.mix_frames = (
+            {int(k): float(v) for k, v in mix.items()} if mix else None
+        )
+        self._frame_trainers = {None: self.trainer}
+
+    def _trainer_for_frames(self, n_frames: Optional[int]) -> Trainer:
+        if n_frames is None or self.hcfg.frames is None:
+            return self.trainer
+        if n_frames not in self._frame_trainers:
+            import dataclasses
+
+            hcfg = dataclasses.replace(
+                self.hcfg, frames=self.hcfg.frames.with_n_frames(n_frames)
+            )
+            self._frame_trainers[n_frames] = Trainer(
+                self.model, hcfg, self._tx, self._settings, mesh=self.mesh
+            )
+        return self._frame_trainers[n_frames]
+
     # ------------------------------------------------------------- batching
     def _batch_capacity(self) -> int:
         if self.dataset_name.startswith("scannet"):
@@ -203,7 +229,13 @@ class Experiment:
         for i, batch in enumerate(self._batches(self.train_ds, True)):
             if i >= self.steps_per_epoch:
                 break
-            state, metrics = self.trainer.train_step(
+            trainer = self.trainer
+            if self.mix_frames:
+                fs = sorted(self.mix_frames)
+                probs = np.asarray([self.mix_frames[f] for f in fs])
+                f = int(self.rng.choice(fs, p=probs / probs.sum()))
+                trainer = self._trainer_for_frames(f)
+            state, metrics = trainer.train_step(
                 state, self._put(batch), jax.random.PRNGKey(epoch)
             )
             losses.append(metrics["loss"])
@@ -257,19 +289,31 @@ class Experiment:
             num_epochs = min(num_epochs, start_epoch + max_epochs)
         val_freq = int(self.tr.get("val_freq", 5))
         save_freq = int(self.tr.get("save_models_frequency", 50))
+
+        from ..utils.logging import WandbLogger
+
+        wandb = WandbLogger(
+            project=self.tr.get("wandb_project"),
+            config=self.cfg,
+            name=os.path.basename(self.log_folder),
+        )
         best = -float("inf")
         for epoch in range(start_epoch, num_epochs):
             state, train_metrics = self.train_epoch(state, epoch)
+            log = {"train/loss": train_metrics["loss"]}
             line = f"epoch {epoch}: loss={train_metrics['loss']:.4f} " \
                    f"({train_metrics['epoch_time_s']:.1f}s)"
             if (epoch + 1) % val_freq == 0 or epoch == num_epochs - 1:
                 val = self.validate(state)
                 key = "accuracy" if self.task == "classification" else "miou"
                 line += f" val_{key}={val[key]:.4f}"
+                log[f"val/{key}"] = val[key]
                 if val[key] > best:
                     best = val[key]
                     self.ckpt.save(epoch, state, {"epoch": epoch, "best": best})
             elif (epoch + 1) % save_freq == 0:
                 self.ckpt.save(epoch, state, {"epoch": epoch, "best": best})
+            wandb.log(log, step=epoch)
             print(line, flush=True)
+        wandb.finish()
         return state

@@ -1,0 +1,106 @@
+"""Logging utilities.
+
+``LoggingManager`` / ``LoggingConfig`` mirror reference
+``utils/loggingmanager.py:8-61`` / ``utils/datastructures.py:9-15`` (a
+generic stdout+file logger the reference ships but never wires into its
+task scripts).  ``WandbLogger`` is the optional experiment logger the
+reference tasks actually use (``train_dfaust_rot.py:472-478``) — a no-op
+when wandb is unavailable or disabled.  ``StepTimer`` covers the
+reference's per-phase millisecond prints (``train_dfaust_rot.py:239-296``)
+plus optional ``jax.profiler`` traces.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import sys
+import time
+from typing import Optional
+
+__all__ = ["LoggingConfig", "LoggingManager", "WandbLogger", "StepTimer"]
+
+
+@dataclasses.dataclass
+class LoggingConfig:
+    name: str = "se3conv3d_tpu"
+    level: int = logging.INFO
+    log_file: Optional[str] = None
+    fmt: str = "%(asctime)s %(name)s %(levelname)s: %(message)s"
+
+
+class LoggingManager:
+    """Stdout (+ optional file) logger factory."""
+
+    def __init__(self, config: LoggingConfig = LoggingConfig()):
+        self.config = config
+        self.logger = logging.getLogger(config.name)
+        self.logger.setLevel(config.level)
+        if not self.logger.handlers:
+            handler = logging.StreamHandler(sys.stdout)
+            handler.setFormatter(logging.Formatter(config.fmt))
+            self.logger.addHandler(handler)
+            if config.log_file:
+                os.makedirs(os.path.dirname(config.log_file) or ".", exist_ok=True)
+                fh = logging.FileHandler(config.log_file)
+                fh.setFormatter(logging.Formatter(config.fmt))
+                self.logger.addHandler(fh)
+
+    def get_logger(self) -> logging.Logger:
+        return self.logger
+
+
+class WandbLogger:
+    """Optional wandb logging; silently inactive when wandb is missing."""
+
+    def __init__(self, project: Optional[str] = None, config: Optional[dict] = None,
+                 name: Optional[str] = None, enabled: bool = True):
+        self._run = None
+        if not enabled or project is None:
+            return
+        try:
+            import wandb
+
+            self._run = wandb.init(project=project, config=config, name=name)
+        except Exception:
+            self._run = None
+
+    @property
+    def active(self) -> bool:
+        return self._run is not None
+
+    def log(self, metrics: dict, step: Optional[int] = None):
+        if self._run is not None:
+            self._run.log(metrics, step=step)
+
+    def finish(self):
+        if self._run is not None:
+            self._run.finish()
+
+
+class StepTimer:
+    """Wall-clock phase timing (+ optional jax.profiler trace)."""
+
+    def __init__(self, trace_dir: Optional[str] = None):
+        self.trace_dir = trace_dir
+        self._t0 = time.perf_counter()
+        self.phases = {}
+
+    def mark(self, phase: str) -> float:
+        now = time.perf_counter()
+        dt = now - self._t0
+        self.phases[phase] = self.phases.get(phase, 0.0) + dt
+        self._t0 = now
+        return dt
+
+    def start_trace(self):
+        if self.trace_dir:
+            import jax
+
+            jax.profiler.start_trace(self.trace_dir)
+
+    def stop_trace(self):
+        if self.trace_dir:
+            import jax
+
+            jax.profiler.stop_trace()
