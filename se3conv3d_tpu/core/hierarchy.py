@@ -40,7 +40,16 @@ from .grid import SubsampleMap, build_grid_subsample
 from .neighborhoods import ball_query_neighborhood, knn_neighborhood
 from .pointcloud import PointCloud
 
-__all__ = ["FrameConfig", "HierarchyConfig", "Hierarchy", "attach_frames", "build_hierarchy"]
+__all__ = [
+    "FrameConfig",
+    "HierarchyConfig",
+    "Hierarchy",
+    "attach_frames",
+    "build_hierarchy",
+    "rotate_cloud",
+    "rotate_hierarchy",
+    "random_rotate_hierarchy",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -290,3 +299,46 @@ def build_hierarchy(
         out_pc = attach_frames(keys[k_i], out_pc, config.frames)
 
     return hierarchy, level0_features, out_pc, out_labels, raw_to_out
+
+
+def rotate_cloud(pc: PointCloud, rot: jnp.ndarray) -> PointCloud:
+    """Apply a global rotation to a cloud's positions and frames.
+
+    ``rot`` is ``[3, 3]`` (shared) or ``[B, 3, 3]`` (per example); row-vector
+    points transform as ``p @ R^T``, frame columns as ``R @ F`` — the
+    transformation of reference ``RotationFunctions.random_rotate``
+    (``pc/RotationFunctions.py:412-425``).
+    """
+    if rot.ndim == 2:
+        positions = pc.positions @ rot.T
+        frames = (
+            None
+            if pc.frames is None
+            else jnp.einsum("ij,bnfjk->bnfik", rot, pc.frames)
+        )
+    else:
+        positions = jnp.einsum("bnd,bed->bne", pc.positions, rot)
+        frames = (
+            None
+            if pc.frames is None
+            else jnp.einsum("bij,bnfjk->bnfik", rot, pc.frames)
+        )
+    return pc.replace(positions=positions, frames=frames)
+
+
+def rotate_hierarchy(h: Hierarchy, rot: jnp.ndarray) -> Hierarchy:
+    """Rotate every level of a hierarchy (points + frames).
+
+    Subsample maps are index-based and rotation-invariant, so they carry
+    over unchanged.
+    """
+    return h.replace(levels=tuple(rotate_cloud(pc, rot) for pc in h.levels))
+
+
+def random_rotate_hierarchy(key: jax.Array, h: Hierarchy):
+    """Uniform random global rotation of a hierarchy; returns ``(h, rot)``
+    (reference ``random_rotate``, one rotation for all levels)."""
+    from .rotation import random_rotations
+
+    rot = random_rotations(key, 1)[0]
+    return rotate_hierarchy(h, rot), rot

@@ -372,6 +372,17 @@ class ElasticDistortionAug(Augmentation):
         return out
 
     def __call__(self, rng, pts, extras):
+        # Fast path: the native C++ implementation (same blurred-grid +
+        # trilinear math); falls back to numpy when the library is absent.
+        from ..native import elastic_distortion as native_elastic
+
+        out = native_elastic(
+            pts, self.granularity_, self.magnitude_,
+            seed=int(rng.integers(1 << 62)),
+        )
+        if out is not None:
+            return out.astype(pts.dtype), (), extras
+
         coords = pts.astype(np.float64).copy()
         mn, mx = coords.min(0), coords.max(0)
         full = (coords - mn).max(0)

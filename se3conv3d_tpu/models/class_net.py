@@ -46,8 +46,32 @@ class ClassNet(nn.Module):
             hierarchy, features, provider, train, calibrate
         )
         feats = enc[-1]
-        last_pc = hierarchy.levels[-1]
 
+        if s.global_equiv_featurevector:
+            # Equivariant global feature path (reference
+            # ``ClassNet.py:131-148``): norm at the last trunk level, then a
+            # conv into one extra hierarchy level using every point as a
+            # neighbor (kNN with k = level capacity), then BN + linear.
+            # Requires the hierarchy to carry that extra level.
+            c = s.num_features[-1]
+            trunk_level = hierarchy.num_levels - 2
+            x = MaskedBatchNorm(c, name="almost_last_norm")(
+                feats, hierarchy.levels[trunk_level].mask, train
+            )
+            neigh = provider.get(
+                trunk_level, trunk_level + 1, 0.0, "knn",
+                hierarchy.levels[trunk_level].capacity,
+            )
+            x = s.conv.make(c, 2 * c, name="global_conv_down")(
+                hierarchy.levels[trunk_level], hierarchy.levels[trunk_level + 1],
+                x, neigh, calibrate,
+            )
+            x = MaskedBatchNorm(2 * c, name="last_norm")(
+                x, hierarchy.levels[trunk_level + 1].mask, train
+            )
+            return TorchLinear(2 * c, name="last_linear")(x)
+
+        last_pc = hierarchy.levels[-1]
         if feats.ndim == 4 and s.frame_pooling_method is not None:
             feats = frame_pool(feats, s.frame_pooling_method)
         x = global_pool(last_pc, feats, s.pooling_method)  # [B, C]

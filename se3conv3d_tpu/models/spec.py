@@ -71,6 +71,10 @@ class ModelSpec:
     # Classification head (reference ``ClassNet.py:25-27``).
     pooling_method: str = "avg"
     frame_pooling_method: Optional[str] = None
+    # Reference ``GLOBAL_EQUIV_FEATUREVECTOR`` (``ClassNet.py:27,131-148``):
+    # skip invariant pooling and emit an equivariant per-point feature
+    # vector via an all-points conv into an extra hierarchy level.
+    global_equiv_featurevector: bool = False
 
     # TPU static neighbor caps.
     max_neighbors: int = 32

@@ -144,3 +144,72 @@ def test_logging_manager_and_timer(tmp_path):
     timer = StepTimer()
     dt = timer.mark("phase_a")
     assert dt >= 0.0 and "phase_a" in timer.phases
+
+
+def test_rotate_hierarchy_preserves_structure():
+    from se3conv3d_tpu.core.hierarchy import (
+        build_hierarchy,
+        random_rotate_hierarchy,
+    )
+
+    cfg = HierarchyConfig(
+        init_cell_size=0.08,
+        cell_sizes=(0.16,),
+        capacities=(64, 32),
+        frames=FrameConfig(n_frames=2, neigh_k=8),
+    )
+    pts = jax.random.uniform(jax.random.PRNGKey(20), (1, 64, 3))
+    mask = jnp.ones((1, 64), bool)
+    h, *_ = build_hierarchy(jax.random.PRNGKey(21), pts, mask, None, cfg)
+    h_rot, rot = random_rotate_hierarchy(jax.random.PRNGKey(22), h)
+    for lvl, lvl_rot in zip(h.levels, h_rot.levels):
+        # Pairwise distances preserved.
+        d0 = np.linalg.norm(
+            np.asarray(lvl.positions[0, :8, None] - lvl.positions[0, None, :8]),
+            axis=-1,
+        )
+        d1 = np.linalg.norm(
+            np.asarray(
+                lvl_rot.positions[0, :8, None] - lvl_rot.positions[0, None, :8]
+            ),
+            axis=-1,
+        )
+        np.testing.assert_allclose(d0, d1, atol=1e-5)
+        # Frames rotate with the cloud: R @ F.
+        np.testing.assert_allclose(
+            np.asarray(lvl_rot.frames),
+            np.einsum("ij,bnfjk->bnfik", np.asarray(rot), np.asarray(lvl.frames)),
+            atol=1e-6,
+        )
+
+
+def test_class_net_global_equiv_featurevector():
+    from se3conv3d_tpu.models import ClassNet
+
+    cfg = HierarchyConfig(
+        init_cell_size=0.08,
+        cell_sizes=(0.16, 0.32, 0.5),  # one extra level beyond the trunk
+        capacities=(128, 64, 32, 16),
+        frames=FrameConfig(n_frames=2, neigh_k=8),
+    )
+    kp, kh = jax.random.split(jax.random.PRNGKey(23))
+    pts = jax.random.uniform(kp, (2, 160, 3))
+    mask = jnp.ones((2, 160), bool)
+    feats = jnp.ones((2, 160, 3))
+    h, f0, *_ = build_hierarchy(kh, pts, mask, feats, cfg)
+    f0 = jnp.repeat(f0[:, :, None, :], 2, axis=2)
+    spec = dataclasses.replace(
+        get_model_spec("ClassNetRotEquivMLPGELU19Former"),
+        patch_num_levels=1,
+        patch_num_features=(8,),
+        num_blocks=(1, 1),
+        num_features=(8, 16),
+        max_neighbors=8,
+        global_equiv_featurevector=True,
+    )
+    model = ClassNet(spec, num_in_feats=3, num_classes=4)
+    variables = model.init({"params": jax.random.PRNGKey(24)}, h, f0, train=False)
+    out = model.apply(variables, h, f0, train=False)
+    # Equivariant feature vector: per point x frame, 2*C channels.
+    assert out.shape == (2, 16, 2, 32)
+    assert np.isfinite(np.asarray(out)).all()
