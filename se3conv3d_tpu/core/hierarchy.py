@@ -157,7 +157,8 @@ class Hierarchy(struct.PyTreeNode):
 
 
 def attach_frames(
-    key: jax.Array, pc: PointCloud, cfg: FrameConfig
+    key: jax.Array, pc: PointCloud, cfg: FrameConfig,
+    spacing: Optional[float] = None,
 ) -> PointCloud:
     """Sample per-point reference frames for a cloud.
 
@@ -184,7 +185,7 @@ def attach_frames(
         return pc.with_frames(frames)
 
     if cfg.neigh_method == "knn":
-        neigh = knn_neighborhood(pc, pc, cfg.neigh_k)
+        neigh = knn_neighborhood(pc, pc, cfg.neigh_k, grid_cell_size=spacing)
     elif cfg.neigh_method == "ball_query":
         neigh = ball_query_neighborhood(pc, pc, cfg.bq_radius, cfg.neigh_k)
     else:
@@ -251,7 +252,9 @@ def build_hierarchy(
     maps = []
     pc = level0
     if config.frames is not None:
-        pc = attach_frames(keys[k_i], pc, config.frames)
+        pc = attach_frames(
+            keys[k_i], pc, config.frames, spacing=config.init_cell_size
+        )
     k_i += 1
     levels.append(pc)
 
@@ -266,7 +269,7 @@ def build_hierarchy(
             positions=smap.subsample(pc.positions, "avg"), mask=smap.out_mask
         )
         if config.frames is not None:
-            nxt = attach_frames(keys[k_i], nxt, config.frames)
+            nxt = attach_frames(keys[k_i], nxt, config.frames, spacing=cell)
         k_i += 1
         levels.append(nxt)
         maps.append(smap)
@@ -296,7 +299,10 @@ def build_hierarchy(
     k_i += 1
 
     if config.frames is not None:
-        out_pc = attach_frames(keys[k_i], out_pc, config.frames)
+        out_pc = attach_frames(
+            keys[k_i], out_pc, config.frames,
+            spacing=config.out_cell_size or config.init_cell_size,
+        )
 
     return hierarchy, level0_features, out_pc, out_labels, raw_to_out
 

@@ -118,13 +118,14 @@ class NeighborhoodProvider:
         radius: float,
         neigh_type: str,
         k: int,
+        spacing: Optional[float] = None,
     ) -> Neighborhood:
         if neigh_type == "ball_query":
             return ball_query_neighborhood(
                 src_pc, dst_pc, radius, self.spec.max_neighbors
             )
         if neigh_type == "knn":
-            return knn_neighborhood(src_pc, dst_pc, k)
+            return knn_neighborhood(src_pc, dst_pc, k, grid_cell_size=spacing)
         raise ValueError(f"unknown neighborhood type {neigh_type!r}")
 
     def get(
@@ -138,6 +139,7 @@ class NeighborhoodProvider:
                 radius,
                 neigh_type,
                 k,
+                spacing=self.hierarchy.levels_radii[src],
             )
         return self._cache[key]
 
@@ -147,5 +149,6 @@ class NeighborhoodProvider:
         """Neighborhood from a hierarchy level to an external cloud (the
         segmentation output cloud — reference ``FPNSegUNet.py:147-177``)."""
         return self._build(
-            self.hierarchy.levels[src], dst_pc, radius, neigh_type, k
+            self.hierarchy.levels[src], dst_pc, radius, neigh_type, k,
+            spacing=self.hierarchy.levels_radii[src],
         )

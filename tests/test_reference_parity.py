@@ -1,0 +1,158 @@
+"""Bit-level parity with the reference implementation (torch CPU oracle).
+
+Loads the reference's own ``RotationFunctions.py`` from the read-only
+mount and compares our frame/rotation math on identical inputs — the
+"bit-for-bit in frame construction" requirement of BASELINE.json.
+Skipped when the reference tree is not mounted.
+"""
+import importlib.util
+import os
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+_REF = "/root/reference/point_cloud_lib/point_cloud_lib/pc/RotationFunctions.py"
+
+
+@pytest.fixture(scope="module")
+def ref():
+    if not os.path.exists(_REF):
+        pytest.skip("reference tree not mounted")
+    # The module imports torch_scatter at top level but the functions under
+    # test never use it; stub it out.
+    if "torch_scatter" not in sys.modules:
+        sys.modules["torch_scatter"] = types.ModuleType("torch_scatter")
+    spec = importlib.util.spec_from_file_location("ref_rotation", _REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class _FakeNeighborhood:
+    """Minimal stand-in for the reference Neighborhood: edge list
+    ``[n*k, 2]`` (col0 = center, col1 = source, -1 = missing) + k_."""
+
+    def __init__(self, idx: np.ndarray):
+        n, k = idx.shape
+        centers = np.repeat(np.arange(n), k)
+        self.neighbors_ = torch.from_numpy(
+            np.stack([centers, idx.reshape(-1)], 1)
+        ).long()
+        self.k_ = k
+
+
+def _knn_idx(pts: np.ndarray, k: int, n_missing: int = 0) -> np.ndarray:
+    d = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+    idx = np.argsort(d, axis=1)[:, :k]
+    if n_missing:
+        idx[:n_missing, -1] = -1  # exercise the self-loop fill
+    return idx.astype(np.int64)
+
+
+@pytest.mark.parametrize("fixed_axis", [False, 1, 2])
+def test_pca_frames_match_reference(ref, fixed_axis):
+    """Frame-set parity with the reference.
+
+    ``eigh`` eigenvector signs are library-specific (each column may flip),
+    so individual frames can land at a different position inside the det=+1
+    sign set — but the SET of candidate frames is identical (SURVEY §7 hard
+    part #2: the shuffle-and-select step consumes the set, so set parity is
+    the meaningful contract).  Matching is therefore per-point symmetric
+    nearest-frame.
+    """
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((64, 3)).astype(np.float32)
+    idx = _knn_idx(pts, 8, n_missing=5)
+
+    theirs = ref.sample_reference_frames_pca(
+        torch.from_numpy(pts), _FakeNeighborhood(idx.copy()),
+        axis_fixed=fixed_axis,
+    ).numpy()  # [n, S, 9]
+    s = theirs.shape[1]
+    theirs = theirs.reshape(64, s, 3, 3)
+
+    from se3conv3d_tpu.core.frames import pca_frames
+
+    mask = idx >= 0
+    safe = np.where(mask, idx, 0)
+    ours = np.asarray(
+        pca_frames(
+            jnp.asarray(pts)[None],
+            jnp.asarray(safe)[None],
+            jnp.asarray(mask)[None],
+            fixed_axis=fixed_axis,
+        )
+    )[0]
+
+    assert ours.shape == theirs.shape
+    # Symmetric set match: every our-frame has an exact counterpart among
+    # the reference's frames for the same point, and vice versa.
+    d = np.linalg.norm(
+        ours[:, :, None] - theirs[:, None, :], axis=(-2, -1)
+    )  # [n, S, S]
+    assert d.min(axis=2).max() < 2e-3
+    assert d.min(axis=1).max() < 2e-3
+
+
+def test_relative_rotations_match_reference(ref):
+    rng = np.random.default_rng(1)
+    from se3conv3d_tpu.core.rotation import (
+        matrix_to_rotation_6d,
+        random_rotations,
+        relative_rotations,
+    )
+
+    fa = np.asarray(random_rotations(jax.random.PRNGKey(0), 6)).reshape(2, 3, 3, 3)
+    fb = np.asarray(random_rotations(jax.random.PRNGKey(1), 4)).reshape(2, 2, 3, 3)
+
+    # Reference: all (g, f) pairwise A_g^T B_f as 6D, flattened (g times f)
+    # -> index l = g * F + f (``get_relative_rot``).
+    ta = torch.from_numpy(fa.reshape(2, 3, 9))
+    tb = torch.from_numpy(fb.reshape(2, 2, 9))
+    theirs = ref.get_relative_rot(ta, tb, return_representation="6D").numpy()
+
+    ours = np.asarray(
+        matrix_to_rotation_6d(
+            relative_rotations(jnp.asarray(fa), jnp.asarray(fb))
+        )
+    ).reshape(2, 6, 6)
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_local_frame_transform_matches_reference(ref):
+    from se3conv3d_tpu.core.rotation import random_rotations, to_local_direction
+
+    vecs = np.random.default_rng(2).standard_normal((10, 3)).astype(np.float32)
+    frames = np.asarray(random_rotations(jax.random.PRNGKey(2), 20)).reshape(10, 2, 3, 3)
+
+    theirs = ref.change_direction_to_local_frame(
+        torch.from_numpy(vecs), torch.from_numpy(frames.reshape(10, 2, 9))
+    ).numpy()  # [n*F, 3] or [n, F, 3]
+
+    ours = np.asarray(
+        to_local_direction(jnp.asarray(vecs), jnp.asarray(frames))
+    )
+    np.testing.assert_allclose(ours.reshape(theirs.shape), theirs, atol=1e-5)
+
+
+def test_quaternion_matrix_roundtrip_matches_reference(ref):
+    from se3conv3d_tpu.core.rotation import (
+        matrix_to_quaternion,
+        quaternion_to_matrix,
+    )
+
+    q = np.random.default_rng(3).standard_normal((32, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    theirs_m = ref.quaternion_to_matrix(torch.from_numpy(q)).numpy()
+    ours_m = np.asarray(quaternion_to_matrix(jnp.asarray(q)))
+    np.testing.assert_allclose(ours_m, theirs_m, atol=1e-5)
+
+    theirs_q = ref.matrix_to_quaternion(torch.from_numpy(theirs_m)).numpy()
+    ours_q = np.asarray(matrix_to_quaternion(jnp.asarray(ours_m)))
+    np.testing.assert_allclose(ours_q, theirs_q, atol=1e-4)
