@@ -110,12 +110,13 @@ class Encoder(nn.Module):
         num_levels = len(s.num_features)
         block_cls = BLOCK_LAYERS[s.block_layer]
 
-        if p > 0:
-            x = PatchEncoder(s, self.num_in_feats, name="patch_encoder")(
-                hierarchy, features, provider, train, calibrate
-            )
-        else:
-            x = features
+        # The patch encoder applies even with 0 patch levels: its final
+        # linear + BN lift the raw input features to num_features[0]
+        # (reference ``PatchEncoder.py:108-113`` — the level loop is empty
+        # but LINEAR_/BN_ still run; ScanNet uses PATCH_NUM_LEVELS = 0).
+        x = PatchEncoder(s, self.num_in_feats, name="patch_encoder")(
+            hierarchy, features, provider, train, calibrate
+        )
 
         # Stochastic-depth schedule: linspace 0 -> max over all blocks
         # (reference ``Encoder.py:92-105``).
