@@ -131,9 +131,12 @@ def knn_neighborhood(
     within 2.5 grid cells — callers pass the subsample cell size).
     """
     if grid_cell_size is not None and src.capacity >= GRID_AUTO_THRESHOLD:
-        return grid_knn_neighborhood(
-            src, query, k, cell_size=1.25 * float(grid_cell_size), window=5
-        )
+        # 3x3x3 window at cell = 2.1 x spacing covers +-3.15 x spacing
+        # (measured recall 0.99997 for k=16 at ScanNet density, 4.4x faster
+        # than a 5x5x5 window with the same coverage); coverage scales with
+        # k^(1/3) for larger k.
+        cell = 2.1 * float(grid_cell_size) * (max(k, 16) / 16.0) ** (1.0 / 3.0)
+        return grid_knn_neighborhood(src, query, k, cell_size=cell, window=3)
 
     def per_example(sp, sm, qp, qm):
         idx, mask, _ = _chunked_topk_neighbors(sp, sm, qp, qm, k, None, chunk)
