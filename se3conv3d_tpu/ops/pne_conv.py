@@ -144,13 +144,15 @@ def basis_conv(
       ``[B, M, Co]``.
     """
     out_dtype = features.dtype
-    gathered = _gather_neighbors(features, neigh.idx)  # [B, M, K, Ci]
     if compute_dtype is not None:
         # bf16 multiplies on the MXU with f32 accumulation — the TPU-native
         # mixed-precision path (results cast back to the input dtype).
-        gathered = gathered.astype(compute_dtype)
+        # Cast BEFORE the gather: the neighbor gather is the bandwidth hog
+        # and bf16 halves its bytes.
+        features = features.astype(compute_dtype)
         pne = pne.astype(compute_dtype)
         conv_weights = conv_weights.astype(compute_dtype)
+    gathered = _gather_neighbors(features, neigh.idx)  # [B, M, K, Ci]
     basis = jnp.einsum(
         "bmkc,bmkq->bmcq", gathered, pne, preferred_element_type=jnp.float32
     )  # segment outer product
@@ -234,11 +236,11 @@ def equiv_basis_conv(
     """
     f_in = features.shape[2]
     out_dtype = features.dtype
-    gathered = _gather_neighbors(features, neigh.idx)  # [B, M, K, F, Ci]
     if compute_dtype is not None:
-        gathered = gathered.astype(compute_dtype)
+        features = features.astype(compute_dtype)
         pne = pne.astype(compute_dtype)
         conv_weights = conv_weights.astype(compute_dtype)
+    gathered = _gather_neighbors(features, neigh.idx)  # [B, M, K, F, Ci]
     basis = jnp.einsum(
         "bmkfc,bmkgfq->bmgcq", gathered, pne, preferred_element_type=jnp.float32
     )
