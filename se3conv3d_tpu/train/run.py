@@ -107,6 +107,10 @@ class Experiment:
             self.md, self.capacity, train=True,
             with_output=self.task == "segmentation",
         )
+        self.eval_hcfg: HierarchyConfig = hierarchy_config_from_model_dict(
+            self.md, self.capacity, train=False,
+            with_output=self.task == "segmentation",
+        )
         self.model = build_model_from_config(
             self.md, self.num_in_feats, self.num_classes
         )
@@ -127,7 +131,10 @@ class Experiment:
             task=self.task,
         )
         self.mesh = make_mesh(n_devices) if n_devices else None
-        self.trainer = Trainer(self.model, self.hcfg, tx, settings, mesh=self.mesh)
+        self.trainer = Trainer(
+            self.model, self.hcfg, tx, settings, mesh=self.mesh,
+            eval_hierarchy_config=self.eval_hcfg,
+        )
         self.steps_per_epoch = steps_per_epoch
         self.ckpt = CheckpointManager(os.path.join(self.log_folder, "ckpt"))
         self.rng = np.random.default_rng(0)

@@ -66,9 +66,13 @@ class Trainer:
         tx: optax.GradientTransformation,
         settings: TrainSettings = TrainSettings(),
         mesh: Optional[Mesh] = None,
+        eval_hierarchy_config: Optional[HierarchyConfig] = None,
     ):
         self.model = model
         self.hcfg = hierarchy_config
+        # Test-time frame count may differ from training (the reference's
+        # RefFrames train_n_frames / test_n_frames split).
+        self.eval_hcfg = eval_hierarchy_config or hierarchy_config
         self.tx = tx
         self.settings = settings
         self.mesh = mesh
@@ -110,22 +114,23 @@ class Trainer:
     def _equivariant(self) -> bool:
         return self.hcfg.frames is not None
 
-    def _build(self, key: jax.Array, batch: dict):
+    def _build(self, key: jax.Array, batch: dict, train: bool = True):
         labels = batch.get("labels")
         seg = self.settings.task == "segmentation"
+        hcfg = self.hcfg if train else self.eval_hcfg
         h, f0, out_pc, out_labels, raw_to_out = build_hierarchy(
             key,
             batch["positions"],
             batch["mask"],
             batch.get("features"),
-            self.hcfg,
+            hcfg,
             labels if seg else None,
         )
         if not seg:
             out_labels = labels
         if self._equivariant and f0 is not None:
             f0 = jnp.repeat(
-                f0[:, :, None, :], self.hcfg.frames.n_frames, axis=2
+                f0[:, :, None, :], hcfg.frames.n_frames, axis=2
             )
         return h, f0, out_pc, out_labels, raw_to_out
 
@@ -181,7 +186,7 @@ class Trainer:
         return new_state, metrics
 
     def _eval_step_impl(self, state: TrainState, batch: dict, rng: jax.Array):
-        h, f0, out_pc, out_labels, raw_to_out = self._build(rng, batch)
+        h, f0, out_pc, out_labels, raw_to_out = self._build(rng, batch, train=False)
         logits = self.model.apply(
             {
                 "params": state.params,

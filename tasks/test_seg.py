@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--vote_epochs", type=int, default=30)
     ap.add_argument("--smooth_segments", action="store_true")
     ap.add_argument("--log_folder", default=None)
+    ap.add_argument("--save_output", default=None,
+                    help="directory for per-scene predictions (ScanNet "
+                         "benchmark label files + colored clouds)")
     args = ap.parse_args()
 
     exp = Experiment(args.conf_file, args.data_folder, log_folder=args.log_folder)
@@ -57,6 +60,30 @@ def main():
     )
     print(f"mIoU: {summary['miou']:.4f}  mAcc: {summary['macc']:.4f}  "
           f"OA: {summary['overall_acc']:.4f}")
+
+    if args.save_output and exp.dataset_name.startswith("scannet"):
+        # Per-scene voted predictions in the official benchmark format
+        # (reference ``test_scannet_rot.py:396-465`` + ``scannet_io.py``).
+        from se3conv3d_tpu.utils.scannet_io import (
+            save_scannet20_scene_colors,
+            save_scannet20_scene_labels,
+        )
+
+        os.makedirs(args.save_output, exist_ok=True)
+        for i, name in enumerate(exp.val_ds.file_list):
+            acc = voter.accum[i]
+            if acc is None:
+                continue
+            pred = acc.argmax(-1)
+            save_scannet20_scene_labels(
+                os.path.join(args.save_output, f"{name}.txt"), pred
+            )
+            save_scannet20_scene_colors(
+                os.path.join(args.save_output, f"{name}_colored.txt"),
+                exp.val_ds.scenes[i]["points"][:, :3], pred,
+            )
+        print(f"saved predictions for {len(exp.val_ds.file_list)} scenes "
+              f"to {args.save_output}")
 
 
 if __name__ == "__main__":
