@@ -131,6 +131,14 @@ def build_model_from_config(
     if "max_drop_path" in model_dict:
         overrides["max_path_drop"] = float(model_dict["max_drop_path"])
     spec = get_model_spec(name, **overrides)
+    if "compute_dtype" in model_dict:
+        # Mixed-precision convs (bf16 multiplies, f32 accumulation).
+        cdt = model_dict["compute_dtype"]
+        spec = dataclasses.replace(
+            spec,
+            conv=dataclasses.replace(spec.conv, compute_dtype=cdt),
+            conv_blocks=dataclasses.replace(spec.conv_blocks, compute_dtype=cdt),
+        )
     if name in SEG_PRESETS:
         return FPNSegUNet(spec, num_in_feats=num_in_feats, num_classes=num_classes)
     if name in CLASS_PRESETS:

@@ -62,3 +62,14 @@ def test_model_overrides_apply():
     assert model.spec.max_path_drop == 0.3
     assert model.spec.max_neighbors == 24
     assert model.spec.equivariant
+
+def test_compute_dtype_override():
+    md = {
+        "model": "FPNSegUNetMLPGeluRotEqFAUST",
+        "init_subsample": 0.04,
+        "grid_subsamples": [0.05, 0.1],
+        "compute_dtype": "bfloat16",
+    }
+    model = build_model_from_config(md, 1, 20)
+    assert model.spec.conv.compute_dtype == "bfloat16"
+    assert model.spec.conv_blocks.compute_dtype == "bfloat16"
