@@ -65,6 +65,13 @@ class Neighborhood(struct.PyTreeNode):
     query_mask: jnp.ndarray
     method: str = struct.field(pytree_node=False, default="knn")
     radius: float = struct.field(pytree_node=False, default=0.0)
+    # Optional precomputed rot-equivariant edge geometry, the analogue of
+    # the reference's per-neighborhood rot-tensor cache
+    # (``PNEConvLayerRotEquiv.py:53-71``): computed once per neighborhood
+    # and shared by every conv layer operating on it (each layer applies
+    # its own norm_neigh_dist scale to the offsets).
+    equiv_rel: Optional[jnp.ndarray] = None  # [B, M, K, G, 3] offsets in receiver frames (unscaled)
+    equiv_rot: Optional[jnp.ndarray] = None  # [B, M, K, G, F, R] relative-rotation features
 
     @property
     def k(self) -> int:

@@ -40,6 +40,7 @@ __all__ = [
     "kp_pne",
     "basis_conv",
     "equiv_geometry",
+    "equiv_geometry_parts",
     "equiv_basis_conv",
 ]
 
@@ -164,26 +165,27 @@ def basis_conv(
     return out.astype(out_dtype) * norm_num_neighs
 
 
-def equiv_geometry(
+def equiv_geometry_parts(
     pc_in: PointCloud,
     pc_out: PointCloud,
     neigh: Neighborhood,
-    norm_dist: jnp.ndarray,
     rel_rot_type: str = "6D",
-) -> jnp.ndarray:
-    """Geometry input of the rot-equivariant PNE: ``[B, M, K, G, F, 3+R]``.
+):
+    """Per-edge rot-equivariant geometry, unscaled.
 
-    Per edge and (out-frame g, in-frame f) pair, concatenates
-      * the edge offset expressed in receiver frame g
-        (reference ``PNEConvLayerRotEquiv.py:76-78``),
-      * the relative rotation ``g^T f`` in the chosen representation
-        (reference ``:82-84``; '6D' -> 6 dims, 'quaternion' -> 4,
-        'matrix' -> 9).
+    Returns ``(rel_local [B, M, K, G, 3], rot_feat [B, M, K, G, F, R])``:
+      * the edge offset expressed in each receiver frame g (WITHOUT the
+        per-layer ``norm_neigh_dist`` scale — a scalar that commutes with
+        the frame rotation, applied by the consuming layer),
+      * the relative rotation ``g^T f`` in the chosen representation.
 
-    Wrapped in ``stop_gradient`` - the reference builds these tensors under
-    ``torch.no_grad()`` (``PNEConvLayerRotEquiv.py:67``).
+    Computed once per neighborhood and shared by all conv layers on it —
+    the role of the reference's rot-tensor cache
+    (``PNEConvLayerRotEquiv.get_rot_tenors``, ``:62-128``).  Wrapped in
+    ``stop_gradient`` like the reference's ``torch.no_grad()`` build.
     """
-    rel = relative_offsets(pc_in, pc_out, neigh, norm_dist)  # [B,M,K,3]
+    src = _gather_neighbors(pc_in.positions, neigh.idx)
+    rel = src - pc_out.positions[:, :, None, :]  # [B,M,K,3]
     frames_out = pc_out.frames  # [B, M, G, 3, 3]
     frames_in = _gather_neighbors(pc_in.frames, neigh.idx)  # [B, M, K, F, 3, 3]
 
@@ -200,13 +202,38 @@ def equiv_geometry(
         rot_feat = rel_rot.reshape(rel_rot.shape[:-2] + (9,))
     else:
         raise ValueError(f"unknown rel_rot_type {rel_rot_type!r}")
-
-    f = frames_in.shape[3]
-    rel_local = jnp.broadcast_to(
-        rel_local[:, :, :, :, None, :], rel_local.shape[:4] + (f, 3)
+    return (
+        jax.lax.stop_gradient(rel_local),
+        jax.lax.stop_gradient(rot_feat),
     )
-    geo = jnp.concatenate([rel_local, rot_feat], axis=-1)
-    return jax.lax.stop_gradient(geo)
+
+
+def equiv_geometry(
+    pc_in: PointCloud,
+    pc_out: PointCloud,
+    neigh: Neighborhood,
+    norm_dist: jnp.ndarray,
+    rel_rot_type: str = "6D",
+) -> jnp.ndarray:
+    """Geometry input of the rot-equivariant PNE: ``[B, M, K, G, F, 3+R]``.
+
+    ``equiv_geometry_parts`` scaled by ``norm_dist`` and broadcast over the
+    in-frame axis (reference ``PNEConvLayerRotEquiv.py:76-84``).  Uses the
+    neighborhood's cached parts when present.
+    """
+    expected_r = {"6D": 6, "quaternion": 4, "matrix": 9}[rel_rot_type]
+    if neigh.equiv_rel is not None and neigh.equiv_rot.shape[-1] == expected_r:
+        rel_local, rot_feat = neigh.equiv_rel, neigh.equiv_rot
+    else:
+        rel_local, rot_feat = equiv_geometry_parts(
+            pc_in, pc_out, neigh, rel_rot_type
+        )
+    f = rot_feat.shape[4]
+    rel_scaled = rel_local * norm_dist
+    rel_scaled = jnp.broadcast_to(
+        rel_scaled[:, :, :, :, None, :], rel_scaled.shape[:4] + (f, 3)
+    )
+    return jnp.concatenate([rel_scaled, rot_feat], axis=-1)
 
 
 def equiv_basis_conv(

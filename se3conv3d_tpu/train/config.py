@@ -130,6 +130,8 @@ def build_model_from_config(
         overrides["max_neighbors"] = int(model_dict["max_neighbors"])
     if "max_drop_path" in model_dict:
         overrides["max_path_drop"] = float(model_dict["max_drop_path"])
+    if "cache_equiv_geometry" in model_dict:
+        overrides["cache_equiv_geometry"] = bool(model_dict["cache_equiv_geometry"])
     spec = get_model_spec(name, **overrides)
     if "compute_dtype" in model_dict:
         # Mixed-precision convs (bf16 multiplies, f32 accumulation).
