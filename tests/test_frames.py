@@ -166,3 +166,63 @@ def test_global_pca_frames_shape_and_validity():
     assert fr.shape == (1, 4, 3, 3)
     m = np.asarray(fr).reshape(-1, 3, 3)
     np.testing.assert_allclose(np.linalg.det(m), 1.0, atol=1e-4)
+
+
+def test_eigh3x3_matches_lapack():
+    """Closed-form 3x3 eigensolver vs jnp.linalg.eigh: eigenvalues match;
+    eigenvectors match up to sign (and up to subspace rotation when
+    degenerate); output is orthonormal."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from se3conv3d_tpu.core.frames import eigh3x3
+
+    rng = np.random.default_rng(0)
+    mats = []
+    # random SPD
+    a = rng.standard_normal((64, 3, 3))
+    mats.append(a @ a.transpose(0, 2, 1))
+    # rank-2 (coplanar neighborhoods, the fixed-axis path)
+    b = rng.standard_normal((16, 3, 2))
+    mats.append(b @ b.transpose(0, 2, 1))
+    # rank-1 (collinear)
+    c = rng.standard_normal((8, 3, 1))
+    mats.append(c @ c.transpose(0, 2, 1))
+    # isotropic + zero
+    mats.append(np.stack([np.eye(3) * 2.5, np.zeros((3, 3))]))
+    cov = np.concatenate(mats).astype(np.float64)
+
+    lam, vec = eigh3x3(jnp.asarray(cov))
+    lam, vec = np.asarray(lam), np.asarray(vec)
+    lam_ref, vec_ref = np.linalg.eigh(cov)
+
+    # f32 tolerances (the test suite runs with x64 disabled); errors are
+    # relative to the matrix scale.
+    scale = np.maximum(np.abs(cov).max(axis=(1, 2)), 1e-9)
+    np.testing.assert_allclose(lam / scale[:, None], lam_ref / scale[:, None], atol=5e-4)
+    # Orthonormal columns.
+    ident = np.einsum("nij,nik->njk", vec, vec)
+    np.testing.assert_allclose(ident, np.broadcast_to(np.eye(3), ident.shape), atol=1e-6)
+    # A v = lambda v for every column (covers degenerate subspaces too).
+    av = np.einsum("nij,njk->nik", cov, vec)
+    lv = lam[:, None, :] * vec
+    np.testing.assert_allclose(
+        av / scale[:, None, None], lv / scale[:, None, None], atol=5e-4
+    )
+
+
+def test_eigh3x3_f32_accuracy_on_covariances():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from se3conv3d_tpu.core.frames import eigh3x3
+
+    rng = np.random.default_rng(1)
+    pts = rng.standard_normal((128, 16, 3)).astype(np.float32) * 0.2
+    centered = pts - pts.mean(1, keepdims=True)
+    cov = np.einsum("nkd,nke->nde", centered, centered)
+    lam, vec = eigh3x3(jnp.asarray(cov))
+    av = np.einsum("nij,njk->nik", cov, np.asarray(vec))
+    lv = np.asarray(lam)[:, None, :] * np.asarray(vec)
+    scale = np.abs(cov).max(axis=(1, 2), keepdims=True)
+    np.testing.assert_allclose(av / scale, lv / scale, atol=2e-5)
