@@ -23,16 +23,19 @@ Shapes are padded to TPU tiles internally; use ``interpret=True`` (set by
 ``FUSED_CONV_INTERPRET``) to run on CPU in tests.
 
 Status: correctness-validated against the XLA einsum path (forward,
-gradients, equivariant folding — ``tests/test_pallas_conv.py``).  The XLA
-path remains the default compute path: measured at ~1.2B pts/s fwd+bwd per
-chip it sits at the matmul roofline (the fusion this kernel performs —
-keeping ``pne``/``basis`` out of HBM — is already done by XLA's own
-producer fusion into the MXU operands), and the Mosaic remote-compile
-toolchain in this environment crashes (HTTP 500 in tpu_compile_helper) on
-batched rank-3 ``dot_general`` with non-leading batch dims, which this
-contraction pattern requires.  Single-matmul and tile-batched Pallas
-kernels compile and run fine here, so the kernel is kept for toolchains
-where Mosaic accepts the pattern.
+gradients, equivariant folding — ``tests/test_pallas_conv.py``) in
+interpreter mode only.  RETRACTION (round 2): the round-1 claim that the
+XLA einsum path "sits at the matmul roofline at ~1.2B pts/s" was a
+measurement artifact — this platform serves repeated identical
+(executable, input) executions from a cache, and the old bench replayed a
+fixed input stream.  Honest single-shot measurement on fresh inputs puts
+the XLA einsum path near ~0.4M pts/s fwd+bwd (~0.5% MFU): XLA does NOT
+fuse the gathered-feature/pne/basis intermediates out of HBM at these
+shapes.  The fusion this file was built for is therefore the critical
+path; the Mosaic toolchain here rejects its batched rank-3 ``dot_general``
+with non-leading batch dims (HTTP 500), so the production kernel lives in
+``fused_equiv.py`` using a block-diagonal reformulation that Mosaic
+accepts.
 """
 from __future__ import annotations
 
