@@ -5,20 +5,28 @@ fwd+bwd — on one full equivariant conv layer (geometry transform + PNE MLP
 + basis projection + weight contraction + gradients w.r.t. parameters and
 features), the exact per-layer workload of the reference's hot loop
 (``PNEConvLayerRotEquiv.__compute_convolution__`` + CUDA feat_basis_proj
-fwd/bwd, SURVEY §3.2).
+fwd/bwd, SURVEY §3.2).  The compute path is the fused Pallas kernel
+(``ops/pallas/fused_equiv.py``).
 
-Measurement discipline (this platform serves identical (executable, input)
-executions from a cache — across processes):
+Measurement discipline (hard-won platform facts, see
+experiments/chip_residency.py and CLAUDE.md):
 
-  * every invocation derives its inputs from ``os.urandom`` entropy, so no
-    two invocations ever replay the same execution stream;
-  * the timed region is a ``lax.scan`` over S *distinct* pre-staged input
-    sets whose per-step results feed a carried checksum, so no iteration
-    can be elided or served from cache within the run;
-  * the analytic FLOP count of the conv math is printed alongside the
-    achieved TFLOP/s and MFU against the chip's bf16 peak, and the bench
-    HARD-FAILS if the implied MFU exceeds 100% (a physically impossible
-    number means the measurement is invalid).
+  * this axon setup serves identical (executable, inputs) executions from
+    a cache ACROSS processes, and arrays do NOT stay device-resident
+    between executions — every execution re-streams host-staged inputs at
+    ~20 GB/s, so timings with large host inputs measure the tunnel;
+  * therefore the timed jitted program takes ONE fresh entropy seed,
+    builds the conv workload ON-DEVICE from it, and scans the conv S
+    times with a carry-dependent perturbation of the features (epsilon
+    scale — defeats CSE and the execution cache, costs nothing);
+  * this matches production, where conv inputs are on-device
+    intermediates of the jitted train step;
+  * the analytic FLOP count, achieved TFLOP/s, and MFU against the
+    197 TFLOP/s v5e bf16 spec peak are printed, and the bench HARD-FAILS
+    if implied MFU exceeds 100% (physically impossible = invalid
+    measurement).  For context, the measured single-chip ceilings through
+    this stack are ~110 TFLOP/s matmul / ~110 GB/s HBM read / ~43 GB/s
+    gather (experiments/chip_roofline.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}
 where vs_baseline is value / 20e6 (the 20M pts/s/chip target).
@@ -33,9 +41,9 @@ import time
 import jax
 import jax.numpy as jnp
 
-from se3conv3d_tpu.core.frames import pca_frames, shuffle_and_select_frames
-from se3conv3d_tpu.core.neighborhoods import knn_neighborhood
+from se3conv3d_tpu.core.neighborhoods import Neighborhood
 from se3conv3d_tpu.core.pointcloud import PointCloud
+from se3conv3d_tpu.core.rotation import random_rotations
 from se3conv3d_tpu.ops import pne_conv as ops
 
 # Workload: one trunk-level conv of the DFaust rot-equiv config.
@@ -46,11 +54,10 @@ F = 2  # frames (pca_2F)
 CB = 32  # basis functions
 CI = CO = 64  # channels
 TARGET = 20e6
+S = 8  # conv steps per timed execution
 
-S = 8  # independent input sets chained through the timed scan
-
-# TPU v5e peak: 197 TFLOP/s bf16 (f32 runs lower; using the bf16 peak for
-# the MFU guard is conservative — nothing can legitimately exceed it).
+# TPU v5e spec peak: 197 TFLOP/s bf16 — the MFU guard bound (nothing can
+# legitimately exceed it; the tunnel-attached chip measures ~110).
 PEAK_FLOPS = 197e12
 
 
@@ -59,9 +66,8 @@ def conv_flops_fwd_bwd() -> float:
 
     fwd: PNE projection (E x 9 @ 9 x CB), neighbor aggregation
     (contraction K*F), weight contraction (contraction CB*CI).
-    bwd: two aggregation-shaped contractions (d_pne, d_gathered), two
-    weight-shaped (d_mid, dW), one PNE-shaped (d_proj) — i.e. 3x fwd.
-    Elementwise work (gelu, masks) excluded: this is the matmul floor.
+    bwd ~ 2x fwd-shaped contractions -> 3x total.  Elementwise work
+    (gelu, masks) excluded: this is the matmul floor.
     """
     edges = B * N * K * F * F
     f_pne = 2.0 * edges * 9 * CB
@@ -70,100 +76,79 @@ def conv_flops_fwd_bwd() -> float:
     return 3.0 * (f_pne + f_agg + f_out)
 
 
-def build_inputs(key):
-    """One independent input set (geometry + params) on device."""
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    pts = jax.random.uniform(k1, (B, N, 3)) * 4.0
-    pc = PointCloud(positions=pts, mask=jnp.ones((B, N), bool))
-    neigh = knn_neighborhood(pc, pc, K)
-    cand = pca_frames(pts, neigh.idx, neigh.mask)
-    frames = shuffle_and_select_frames(k2, cand, F)
-    feats = jax.random.normal(k3, (B, N, F, CI))
-    proj_axes = jax.random.normal(k4, (9, CB)) * 0.3
-    proj_biases = jnp.zeros((CB,))
-    weights = jax.random.normal(k5, (CI, CB, CO)) * 0.05
-    return {
-        "positions": pts,
-        "frames": frames,
-        "idx": neigh.idx,
-        "nmask": neigh.mask,
-        "params": (feats, proj_axes, proj_biases, weights),
-    }
+def build_workload(key):
+    """On-device: positions, frames, neighbor table, features, params.
+
+    The neighbor table is random-but-valid: the conv's memory/compute
+    pattern is identical to a kNN table, and building true kNN inside the
+    timed region would benchmark the search instead of the conv.
+    """
+    ks = jax.random.split(key, 7)
+    pts = jax.random.uniform(ks[0], (B, N, 3)) * 4.0
+    frames = random_rotations(ks[1], B * N * F).reshape(B, N, F, 3, 3)
+    idx = jax.random.randint(ks[2], (B, N, K), 0, N)
+    feats = jax.random.normal(ks[3], (B, N, F, CI))
+    pa = jax.random.normal(ks[4], (9, CB)) * 0.3
+    pb = jax.random.normal(ks[5], (CB,)) * 0.02
+    w = jax.random.normal(ks[6], (CI, CB, CO)) * 0.05
+    return pts, frames, idx, feats, pa, pb, w
 
 
-def conv_loss(params, positions, frames, idx, nmask, compute_dtype=None):
-    from se3conv3d_tpu.core.neighborhoods import Neighborhood
+def make_bench(compute_dtype):
+    def loss(feats, pts, frames, idx, pa, pb, w):
+        pc = PointCloud(
+            positions=pts, mask=jnp.ones((B, N), bool), frames=frames
+        )
+        neigh = Neighborhood(
+            idx=idx, mask=jnp.ones((B, N, K), bool),
+            query_mask=jnp.ones((B, N), bool),
+        )
+        out = ops.fused_equiv_conv(
+            pc, pc, neigh, feats, pa, pb, w,
+            jnp.asarray(10.0), jnp.asarray(1.0 / K),
+            compute_dtype=compute_dtype,
+        )
+        return jnp.sum(out * out)
 
-    feats, proj_axes, proj_biases, weights = params
-    pc = PointCloud(
-        positions=positions, mask=jnp.ones((B, N), bool), frames=frames
-    )
-    neigh = Neighborhood(
-        idx=idx, mask=nmask, query_mask=jnp.ones((B, N), bool)
-    )
-    geo = ops.equiv_geometry(pc, pc, neigh, jnp.asarray(10.0), "6D")
-    pne = ops.linear_pne(geo, proj_axes, proj_biases, jax.nn.gelu)
-    pne = pne * nmask[:, :, :, None, None, None]
-    out = ops.equiv_basis_conv(
-        pne, feats, neigh, weights, jnp.asarray(1.0 / K),
-        compute_dtype=compute_dtype,
-    )
-    return jnp.sum(out * out)
-
-
-def make_timed_fn(compute_dtype):
-    grad_fn = jax.value_and_grad(
-        lambda p, pos, fr, idx, m: conv_loss(p, pos, fr, idx, m, compute_dtype)
-    )
+    vg = jax.value_and_grad(loss, argnums=(0, 4, 5, 6))
 
     @jax.jit
-    def run(stacked):
-        """Scan over S distinct input sets; every step feeds the carry."""
+    def bench(seed):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+        pts, frames, idx, feats, pa, pb, w = build_workload(key)
 
-        def step(carry, inp):
-            loss, grads = grad_fn(
-                inp["params"], inp["positions"], inp["frames"],
-                inp["idx"], inp["nmask"],
-            )
-            # Consume the gradients so neither the backward pass nor the
-            # loss can be dead-code-eliminated.
-            gsum = sum(jnp.sum(g) for g in jax.tree_util.tree_leaves(grads))
-            return carry + loss + gsum, ()
+        def step(carry, _):
+            f_i = feats * (1.0 + 1e-12 * carry)
+            v, grads = vg(f_i, pts, frames, idx, pa, pb, w)
+            gs = sum(jnp.sum(g.astype(jnp.float32)) for g in grads)
+            return carry + v + gs, ()
 
-        carry, _ = jax.lax.scan(step, jnp.zeros(()), stacked)
+        carry, _ = jax.lax.scan(step, jnp.zeros(()), None, length=S)
         return carry
 
-    return run
+    return bench
 
 
-def time_variant(stacked_a, stacked_b, compute_dtype):
-    """Compile+warm on set A, time a single shot on never-seen set B."""
-    run = make_timed_fn(compute_dtype)
-    jax.block_until_ready(run(stacked_a))  # compile + warmup (untimed)
-    t0 = time.perf_counter()
-    jax.block_until_ready(run(stacked_b))
-    dt = time.perf_counter() - t0
-    return B * N * S / dt, dt / S
+def fresh_seed() -> int:
+    return int.from_bytes(os.urandom(4), "little") % (2**31)
 
 
 def main():
-    seed = int.from_bytes(os.urandom(8), "little") % (2**31)
-    keys = jax.random.split(jax.random.PRNGKey(seed), 2 * S)
-
-    @jax.jit
-    def build_all(ks):
-        return jax.vmap(build_inputs)(ks)
-
-    stacked_a = jax.block_until_ready(build_all(keys[:S]))
-    stacked_b = jax.block_until_ready(build_all(keys[S:]))
-
-    flops = conv_flops_fwd_bwd()
     results = []
-    for dtype in (None, jnp.bfloat16):
-        pts_per_sec, sec_per_step = time_variant(stacked_a, stacked_b, dtype)
-        mfu = flops / sec_per_step / PEAK_FLOPS
-        results.append((pts_per_sec, sec_per_step, mfu, dtype))
-    pts_per_sec, sec_per_step, mfu, dtype = max(results, key=lambda r: r[0])
+    for dtype in ("bfloat16", None):
+        bench = make_bench(dtype)
+        float(jax.device_get(bench(fresh_seed())))  # compile + warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jax.device_get(bench(fresh_seed())))
+            times.append(time.perf_counter() - t0)
+        sec_per_step = min(times) / S
+        results.append((B * N / sec_per_step, sec_per_step, dtype))
+
+    pts_per_sec, sec_per_step, dtype = max(results, key=lambda r: r[0])
+    flops = conv_flops_fwd_bwd()
+    mfu = flops / sec_per_step / PEAK_FLOPS
 
     if mfu > 1.0:
         print(
@@ -184,8 +169,9 @@ def main():
                 "flops_per_step": flops,
                 "achieved_tflops": round(flops / sec_per_step / 1e12, 3),
                 "mfu_vs_bf16_peak": round(mfu, 4),
-                "dtype": "bf16" if dtype is not None else "f32",
-                "entropy_seed": seed,
+                "dtype": "bf16" if dtype else "f32",
+                "kernel": "pallas_fused",
+                "steps_per_exec": S,
             }
         )
     )

@@ -94,6 +94,12 @@ class PNEConv(nn.Module):
     # 'bfloat16' runs the conv einsums with bf16 multiplies + f32
     # accumulation on the MXU; None keeps full f32.
     compute_dtype: Optional[str] = None
+    # Fused Pallas kernel dispatch: None = auto (fused on TPU, XLA einsum
+    # path on CPU where Mosaic kernels only run interpreted).  The fused
+    # path covers mlp_{relu,gelu,sin,linear} with 'add' aggregation and
+    # 6D relative rotations — everything the shipped configs use; other
+    # combinations fall back to the XLA path.
+    use_fused: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -174,7 +180,27 @@ class PNEConv(nn.Module):
         act = ops.pne_activation(self.pne_type) if "mlp" in self.pne_type else None
 
         cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        fused_ok = (
+            "mlp" in self.pne_type
+            and not self.pne_type.endswith("softmax")
+            and self.aggregation == "add"
+            and (not self.equivariant or self.rel_rot_type == "6D")
+        )
+        use_fused = self.use_fused
+        if use_fused is None:
+            use_fused = jax.default_backend() != "cpu"
+        use_fused = use_fused and fused_ok
+        act_name = self.pne_type.split("_")[-1] if fused_ok else None
+
         if self.equivariant:
+            if use_fused:
+                return ops.fused_equiv_conv(
+                    pc_in, pc_out, neigh, features,
+                    proj_axes, proj_biases, conv_weights,
+                    norm_dist, norm_neighs,
+                    act=act_name, rel_rot_type=self.rel_rot_type,
+                    compute_dtype=cdt,
+                )
             geo = ops.equiv_geometry(
                 pc_in, pc_out, neigh, norm_dist, self.rel_rot_type
             )  # [B,M,K,G,F,3+R]
@@ -183,6 +209,13 @@ class PNEConv(nn.Module):
             return ops.equiv_basis_conv(
                 pne, features, neigh, conv_weights, norm_neighs,
                 compute_dtype=cdt,
+            )
+
+        if use_fused:
+            return ops.fused_conv(
+                pc_in, pc_out, neigh, features,
+                proj_axes, proj_biases, conv_weights,
+                norm_dist, norm_neighs, act=act_name, compute_dtype=cdt,
             )
 
         rel = ops.relative_offsets(pc_in, pc_out, neigh, norm_dist)
@@ -222,6 +255,7 @@ class ConvFactory:
     rel_rot_type: str = "6D"
     aggregation: str = "add"
     compute_dtype: Optional[str] = None
+    use_fused: Optional[bool] = None
     # Rematerialize conv internals in the backward pass: the per-edge
     # gathered-feature / PNE / basis tensors dominate training HBM at
     # ScanNet scale (a 131k-point step OOMs a 16 GB chip without this).
@@ -241,5 +275,6 @@ class ConvFactory:
             rel_rot_type=self.rel_rot_type,
             aggregation=self.aggregation,
             compute_dtype=self.compute_dtype,
+            use_fused=self.use_fused,
             name=name,
         )

@@ -42,6 +42,8 @@ __all__ = [
     "equiv_geometry",
     "equiv_geometry_parts",
     "equiv_basis_conv",
+    "fused_conv",
+    "fused_equiv_conv",
 ]
 
 
@@ -49,7 +51,8 @@ def pne_activation(name: str) -> Optional[Callable]:
     """Activation by pne_type suffix (reference ``PNEConvLayer.py:91-100``)."""
     table = {
         "relu": jax.nn.relu,
-        "gelu": jax.nn.gelu,
+        # exact (erf) gelu: the reference uses torch's default GELU
+        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
         "sin": jnp.sin,
         "softmax": lambda x: jax.nn.softmax(x, axis=-1),
         "linear": None,
@@ -277,3 +280,247 @@ def equiv_basis_conv(
         "bmgcq,cqo->bmgo", basis, conv_weights, preferred_element_type=jnp.float32
     )
     return out.astype(out_dtype) * (norm_num_neighs / f_in)
+
+
+@jax.custom_vjp
+def _gather_feats_me(features, idx, mask):
+    """Masked neighbor-feature gather -> ``[B, M, K*F, C]``.
+
+    Explicit VJP: the backward is a flat one-dimensional index scatter-add
+    (``zeros.at[idx].add``) instead of the rank-5 scatter XLA autodiff
+    derives from the vmapped fancy-index gather — the latter makes this
+    platform's compile helper fail at DFaust scale (HTTP 500,
+    experiments/chip_isolate.py).
+    """
+    b, m, k = idx.shape
+    g = _gather_neighbors(features, idx)
+    g = jnp.where(mask[:, :, :, None, None], g, 0.0)
+    return g.reshape(b, m, k * features.shape[2], features.shape[-1])
+
+
+def _gather_feats_me_fwd(features, idx, mask):
+    return _gather_feats_me(features, idx, mask), (
+        idx, mask, features.shape
+    )
+
+
+def _gather_feats_me_bwd(res, gout):
+    idx, mask, fshape = res
+    b, n, f, c = fshape
+    m, k = idx.shape[1:]
+    gm = jnp.where(
+        mask[:, :, :, None, None], gout.reshape(b, m, k, f, c), 0.0
+    )
+
+    def one(g_b, idx_b):
+        # f32 accumulation even for bf16 activations: in-degree ~K
+        # contributions per source point would lose ~1% in bf16 sums.
+        flat = g_b.reshape(m * k, f * c).astype(jnp.float32)
+        out = jnp.zeros((n, f * c), jnp.float32).at[idx_b.reshape(-1)].add(flat)
+        return out.reshape(n, f, c)
+
+    dfeat = jax.vmap(one)(gm, idx)
+    return dfeat.astype(gout.dtype), None, None
+
+
+_gather_feats_me.defvjp(_gather_feats_me_fwd, _gather_feats_me_bwd)
+
+
+def fused_equiv_conv(
+    pc_in: PointCloud,
+    pc_out: PointCloud,
+    neigh: Neighborhood,
+    features: jnp.ndarray,
+    proj_axes: jnp.ndarray,
+    proj_biases: jnp.ndarray,
+    conv_weights: jnp.ndarray,
+    norm_dist: jnp.ndarray,
+    norm_num_neighs: jnp.ndarray,
+    act: str = "gelu",
+    rel_rot_type: str = "6D",
+    tile_m: int = 64,
+    m_chunk: int = 16384,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Rot-equivariant conv through the fused Pallas kernel.
+
+    Same math as ``linear_pne`` + mask + ``equiv_basis_conv`` (masking the
+    gathered features instead of the pne — identical sums and gradients),
+    but the per-edge pne and per-point basis never touch HBM, and the
+    geometry is built PER-COMPONENT into the kernel's transposed compact
+    layout ``geo_t [B, G*(D+1), M*K*F]``: no ``[..., 3, 3]`` or
+    ``[..., 3]`` intermediates ever materialise (TPU pads a minor dim of
+    3 to 128 lanes — a 6-40x HBM tax; measured 31.6 ms/step at DFaust
+    scale for the einsum geometry vs ~3 ms packed).  The
+    ``norm_neigh_dist`` scale folds into the projection's offset rows
+    (algebraically identical), so the geometry is layer-independent.
+
+    The query axis is processed in ``m_chunk`` slices under ``lax.scan``:
+    this platform's compile helper fails (HTTP 500) on single-call
+    programs past ~48k queries at trunk shapes, and chunking also bounds
+    the geometry/gather transients.
+
+    6D relative rotations only (the shipped configs' representation);
+    callers fall back to the XLA einsum path for quaternion/matrix.
+    """
+    from .pallas.fused_equiv import fused_pne_conv
+
+    if rel_rot_type != "6D":
+        raise NotImplementedError(
+            "fused_equiv_conv packs 6D relative rotations; use the XLA "
+            "path for quaternion/matrix"
+        )
+    b, m, kk = neigh.idx.shape
+    g = pc_out.frames.shape[2]
+    f = pc_in.frames.shape[2]
+    cdt_name = None if compute_dtype is None else jnp.dtype(compute_dtype).name
+    geo_dt = jnp.dtype(cdt_name) if cdt_name else features.dtype
+    feats_x = features.astype(geo_dt) if cdt_name else features
+
+    # Fold the norm scale into the offset rows of the projection:
+    # act((s*rel) @ A_off + rot @ A_rot + b) == act(rel @ (s*A_off) + ...).
+    pa_scaled = jnp.concatenate(
+        [proj_axes[:3] * norm_dist, proj_axes[3:]], axis=0
+    )
+    # One combined per-source table: positions (f32 — offsets are
+    # differences of nearby coordinates, bf16 would lose them) + all F*9
+    # sender-frame components.  ONE row-gather per chunk: scalar
+    # take_along_axis gathers measure ~25x slower than row gathers on
+    # this TPU (experiments/chip_gather_test.py), and a 3-column gather
+    # pads to 128 lanes anyway, so the 21 columns ride along free.
+    table = jnp.concatenate(
+        [pc_in.positions, pc_in.frames.reshape(b, -1, f * 9)], axis=-1
+    )
+
+    def chunk(ctr_c, fo_c, idx_c, mask_c):
+        mc = idx_c.shape[1]
+        e2 = mc * kk * f
+        gf = jax.vmap(lambda t, i: t[i])(table, idx_c.reshape(b, mc * kk))
+        gf = gf.reshape(b, mc, kk, 3 + f * 9)               # [B,mc,K,21]
+        rows = []
+        for gi in range(g):
+            # offset in receiver frame g: sum_c (src_c - ctr_c) * Rg[c, d]
+            for dd in range(3):
+                r = sum(
+                    (gf[..., c] - ctr_c[..., c][:, :, None])
+                    * fo_c[:, :, gi, c, dd][:, :, None]
+                    for c in range(3)
+                )
+                r = jnp.broadcast_to(r[..., None], (b, mc, kk, f))
+                rows.append(r.reshape(b, e2).astype(geo_dt))
+            # 6D of Rg^T Rf: rows p<2 of A[p, q] = sum_d Rg[d, p] Rf[d, q]
+            for p in range(2):
+                for qq in range(3):
+                    per_f = [
+                        sum(
+                            fo_c[:, :, gi, dd, p][:, :, None]
+                            * gf[..., 3 + fi * 9 + dd * 3 + qq]
+                            for dd in range(3)
+                        )
+                        for fi in range(f)
+                    ]                                       # F x [B,mc,K]
+                    r = jnp.stack(per_f, axis=-1)           # [B,mc,K,F]
+                    rows.append(r.reshape(b, e2).astype(geo_dt))
+            rows.append(jnp.ones((b, e2), geo_dt))  # bias row
+        geo_t = jax.lax.stop_gradient(jnp.stack(rows, axis=1))
+        feat_g = _gather_feats_me(feats_x, idx_c, mask_c)
+        return fused_pne_conv(
+            geo_t, feat_g, pa_scaled, proj_biases, conv_weights,
+            g_frames=g, act=act, tile_m=tile_m, compute_dtype=cdt_name,
+        )
+
+    ctr_full = pc_out.positions
+    fo_full = pc_out.frames
+
+    if m <= m_chunk:
+        out = chunk(ctr_full, fo_full, neigh.idx, neigh.mask)
+        return (out * (norm_num_neighs / f)).astype(features.dtype)
+
+    mp = ((m + m_chunk - 1) // m_chunk) * m_chunk
+    nch = mp // m_chunk
+    pad = mp - m
+
+    def chunked(x):
+        x = jnp.pad(x, [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2))
+        return x.reshape(b, nch, m_chunk, *x.shape[2:]).swapaxes(0, 1)
+
+    xs = (chunked(ctr_full), chunked(fo_full), chunked(neigh.idx),
+          chunked(neigh.mask))
+
+    def body(_, x):
+        return (), chunk(*x)
+
+    _, outs = jax.lax.scan(body, (), xs)
+    out = outs.swapaxes(0, 1).reshape(b, mp, g, -1)[:, :m]
+    return (out * (norm_num_neighs / f)).astype(features.dtype)
+
+
+def fused_conv(
+    pc_in: PointCloud,
+    pc_out: PointCloud,
+    neigh: Neighborhood,
+    features: jnp.ndarray,
+    proj_axes: jnp.ndarray,
+    proj_biases: jnp.ndarray,
+    conv_weights: jnp.ndarray,
+    norm_dist: jnp.ndarray,
+    norm_num_neighs: jnp.ndarray,
+    act: str = "gelu",
+    tile_m: int = 64,
+    m_chunk: int = 16384,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Standard (non-equivariant, mlp-PNE) conv through the fused kernel.
+
+    Degenerate case of the equivariant kernel: G = 1 out-frames, E = K
+    edges, D = 3 pne dims (reference ``PNEConvLayer.py:178-229``).  Same
+    packed-transposed geometry and ``m_chunk`` slicing as
+    :func:`fused_equiv_conv`.
+    """
+    from .pallas.fused_equiv import fused_pne_conv
+
+    b, m, kk = neigh.idx.shape
+    cdt_name = None if compute_dtype is None else jnp.dtype(compute_dtype).name
+    geo_dt = jnp.dtype(cdt_name) if cdt_name else features.dtype
+    feats4 = features[:, :, None, :].astype(geo_dt)  # [B,N,1,C] — F=1
+    pa_scaled = proj_axes * norm_dist
+    pts_in = pc_in.positions
+
+    def chunk(ctr_c, idx_c, mask_c):
+        mc = idx_c.shape[1]
+        gp = jax.vmap(lambda t, i: t[i])(pts_in, idx_c.reshape(b, mc * kk))
+        gp = gp.reshape(b, mc, kk, 3)
+        rows = []
+        for c in range(3):
+            r = gp[..., c] - ctr_c[..., c][:, :, None]
+            rows.append(r.reshape(b, mc * kk).astype(geo_dt))
+        rows.append(jnp.ones((b, mc * kk), geo_dt))
+        geo_t = jax.lax.stop_gradient(jnp.stack(rows, axis=1))  # [B, 4, mc*K]
+        feat_g = _gather_feats_me(feats4, idx_c, mask_c)
+        return fused_pne_conv(
+            geo_t, feat_g, pa_scaled, proj_biases, conv_weights,
+            g_frames=1, act=act, tile_m=tile_m, compute_dtype=cdt_name,
+        )
+
+    ctr_full = pc_out.positions
+
+    if m <= m_chunk:
+        out = chunk(ctr_full, neigh.idx, neigh.mask)
+        return (out[:, :, 0, :] * norm_num_neighs).astype(features.dtype)
+
+    mp = ((m + m_chunk - 1) // m_chunk) * m_chunk
+    nch = mp // m_chunk
+    pad = mp - m
+
+    def chunked(x):
+        x = jnp.pad(x, [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2))
+        return x.reshape(b, nch, m_chunk, *x.shape[2:]).swapaxes(0, 1)
+
+    xs = (chunked(ctr_full), chunked(neigh.idx), chunked(neigh.mask))
+
+    def body(_, x):
+        return (), chunk(*x)
+
+    _, outs = jax.lax.scan(body, (), xs)
+    out = outs.swapaxes(0, 1).reshape(b, mp, 1, -1)[:, :m]
+    return (out[:, :, 0, :] * norm_num_neighs).astype(features.dtype)

@@ -1,0 +1,148 @@
+"""Parity of the production fused Pallas conv vs the XLA einsum path.
+
+Interpreter mode on CPU (conftest forces the CPU backend); the same kernel
+compiles on Mosaic on the real chip (experiments/bench_fused.py).  Oracle:
+``linear_pne`` + mask + ``equiv_basis_conv`` / ``basis_conv`` — themselves
+oracle-tested against the reference semantics in tests/test_conv.py.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import se3conv3d_tpu.ops.pallas.fused_equiv as fe
+from se3conv3d_tpu.core.frames import pca_frames, shuffle_and_select_frames
+from se3conv3d_tpu.core.neighborhoods import Neighborhood, knn_neighborhood
+from se3conv3d_tpu.core.pointcloud import PointCloud
+from se3conv3d_tpu.ops import pne_conv as ops
+
+fe.FUSED_INTERPRET = True
+
+B, N, K, F, Q, C, O = 2, 96, 8, 2, 16, 24, 20
+
+
+def _setup(key, mask_tail=7):
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    pts = jax.random.uniform(k1, (B, N, 3)) * 2.0
+    mask = jnp.ones((B, N), bool)
+    if mask_tail:
+        mask = mask.at[:, N - mask_tail:].set(False)
+    pc = PointCloud(positions=pts, mask=mask)
+    neigh = knn_neighborhood(pc, pc, K)
+    cand = pca_frames(pts, neigh.idx, neigh.mask)
+    frames = shuffle_and_select_frames(k2, cand, F)
+    pc = PointCloud(positions=pts, mask=mask, frames=frames)
+    feats = jax.random.normal(k3, (B, N, F, C))
+    proj_axes = jax.random.normal(k4, (9, Q)) * 0.3
+    proj_biases = jax.random.normal(k5, (Q,)) * 0.1
+    weights = jax.random.normal(k6, (C, Q, O)) * 0.1
+    return pc, neigh, feats, proj_axes, proj_biases, weights
+
+
+def _xla_equiv(pc, neigh, feats, pa, pb, w, norm_dist, norm_n):
+    geo = ops.equiv_geometry(pc, pc, neigh, norm_dist, "6D")
+    pne = ops.linear_pne(geo, pa, pb, jax.nn.gelu)
+    pne = pne * neigh.mask[:, :, :, None, None, None]
+    return ops.equiv_basis_conv(pne, feats, neigh, w, norm_n)
+
+
+def _fused_equiv(pc, neigh, feats, pa, pb, w, norm_dist, norm_n):
+    return ops.fused_equiv_conv(
+        pc, pc, neigh, feats, pa, pb, w, norm_dist, norm_n, tile_m=32
+    )
+
+
+def test_forward_matches_xla_path():
+    pc, neigh, feats, pa, pb, w = _setup(jax.random.PRNGKey(0))
+    nd, nn = jnp.asarray(3.0), jnp.asarray(0.11)
+    ref = _xla_equiv(pc, neigh, feats, pa, pb, w, nd, nn)
+    got = _fused_equiv(pc, neigh, feats, pa, pb, w, nd, nn)
+    assert got.shape == ref.shape == (B, N, F, O)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_gradients_match_xla_path():
+    pc, neigh, feats, pa, pb, w = _setup(jax.random.PRNGKey(1))
+    nd, nn = jnp.asarray(3.0), jnp.asarray(0.11)
+
+    def loss(fn, params):
+        feats_, pa_, pb_, w_ = params
+        out = fn(pc, neigh, feats_, pa_, pb_, w_, nd, nn)
+        return jnp.sum(out * jnp.cos(out))  # non-trivial cotangent
+
+    params = (feats, pa, pb, w)
+    g_ref = jax.grad(lambda p: loss(_xla_equiv, p))(params)
+    g_fus = jax.grad(lambda p: loss(_fused_equiv, p))(params)
+    for a, b, name in zip(g_ref, g_fus, ["feats", "proj", "bias", "w"]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-3,
+            err_msg=f"grad mismatch: {name}",
+        )
+
+
+def test_standard_conv_matches_xla_path():
+    pc, neigh, feats, pa, pb, w = _setup(jax.random.PRNGKey(2))
+    feats1 = feats[:, :, 0, :]  # [B, N, C]
+    pa3 = pa[:3]  # [3, Q]
+    nd, nn = jnp.asarray(3.0), jnp.asarray(0.13)
+
+    rel = ops.relative_offsets(pc, pc, neigh, nd)
+    pne = ops.linear_pne(rel, pa3, pb, jax.nn.gelu) * neigh.mask[..., None]
+    ref = ops.basis_conv(pne, feats1, neigh, w, nn)
+
+    got = ops.fused_conv(pc, pc, neigh, feats1, pa3, pb, w, nd, nn, tile_m=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_ragged_m_padding():
+    """M not a multiple of tile_m: padded rows must not perturb results."""
+    pc, neigh, feats, pa, pb, w = _setup(jax.random.PRNGKey(3))
+    nd, nn = jnp.asarray(3.0), jnp.asarray(0.11)
+    ref = _xla_equiv(pc, neigh, feats, pa, pb, w, nd, nn)
+    got = ops.fused_equiv_conv(
+        pc, pc, neigh, feats, pa, pb, w, nd, nn, tile_m=64
+    )  # 96 % 64 != 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+@pytest.mark.parametrize("g_frames", [1, 2])
+def test_single_frame_path(g_frames):
+    pc, neigh, feats, pa, pb, w = _setup(jax.random.PRNGKey(4))
+    if g_frames == 1:
+        frames1 = pc.frames[:, :, :1]
+        pc = PointCloud(positions=pc.positions, mask=pc.mask, frames=frames1)
+        feats = feats[:, :, :1]
+    nd, nn = jnp.asarray(3.0), jnp.asarray(0.11)
+    ref = _xla_equiv(pc, neigh, feats, pa, pb, w, nd, nn)
+    got = _fused_equiv(pc, neigh, feats, pa, pb, w, nd, nn)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_m_chunked_scan_path():
+    """m_chunk < M exercises the lax.scan chunking; must match exactly."""
+    pc, neigh, feats, pa, pb, w = _setup(jax.random.PRNGKey(5))
+    nd, nn = jnp.asarray(3.0), jnp.asarray(0.11)
+    ref = _xla_equiv(pc, neigh, feats, pa, pb, w, nd, nn)
+    got = ops.fused_equiv_conv(
+        pc, pc, neigh, feats, pa, pb, w, nd, nn, tile_m=32, m_chunk=32
+    )  # N=96 -> 3 chunks
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+    def l_ref(p):
+        out = _xla_equiv(pc, neigh, p[0], p[1], p[2], p[3], nd, nn)
+        return jnp.sum(out**2)
+
+    def l_chk(p):
+        out = ops.fused_equiv_conv(
+            pc, pc, neigh, p[0], p[1], p[2], p[3], nd, nn, tile_m=32, m_chunk=32
+        )
+        return jnp.sum(out**2)
+
+    params = (feats, pa, pb, w)
+    for a, b, name in zip(
+        jax.grad(l_ref)(params), jax.grad(l_chk)(params), ["feats", "pa", "pb", "w"]
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-3,
+            err_msg=f"chunked grad mismatch: {name}",
+        )
