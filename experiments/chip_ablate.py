@@ -36,12 +36,14 @@ def bench(seed):
 
     if PART in ("kernel_fwd", "kernel_grad"):
         # pre-build geo2 + feat_g once (on-device), time kernel only
+        # transposed packed layout [B, G*(D+1), M*K*F] the kernel expects
         rel_local, rot_feat = ops.equiv_geometry_parts(pc, pc, neigh, "6D")
-        rel_s = jnp.broadcast_to((rel_local * 10.0)[:, :, :, None, :, :], (B, M, K, F, G, 3)).astype(dt)
-        rot_t = jnp.swapaxes(rot_feat, 3, 4).astype(dt)
-        ones = jnp.ones((B, M, K, F, G, 1), dt)
-        geo2_full = jnp.concatenate([rel_s, rot_t, ones], -1).reshape(B, M * K * F, G * (D + 1))
-        feat_g = ops._gather_feats_me(feats_x, idx, mask=neigh.mask)
+        rel_s = jnp.broadcast_to((rel_local * 10.0)[:, :, :, None, :, :], (B, M, K, F, G, 3))
+        rot_t = jnp.swapaxes(rot_feat, 3, 4)
+        ones = jnp.ones((B, M, K, F, G, 1), jnp.float32)
+        geo6 = jnp.concatenate([rel_s, rot_t, ones], -1)    # [B,M,K,F,G,D+1]
+        geo2_full = geo6.reshape(B, M * K * F, G * (D + 1)).swapaxes(1, 2).astype(dt)
+        feat_g = ops._gather_feats_me(feats_x, idx, neigh.mask)
 
     def step(c, _):
         if PART == "build_only":

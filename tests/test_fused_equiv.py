@@ -41,7 +41,7 @@ def _setup(key, mask_tail=7):
 
 def _xla_equiv(pc, neigh, feats, pa, pb, w, norm_dist, norm_n):
     geo = ops.equiv_geometry(pc, pc, neigh, norm_dist, "6D")
-    pne = ops.linear_pne(geo, pa, pb, jax.nn.gelu)
+    pne = ops.linear_pne(geo, pa, pb, ops.pne_activation("mlp_gelu"))
     pne = pne * neigh.mask[:, :, :, None, None, None]
     return ops.equiv_basis_conv(pne, feats, neigh, w, norm_n)
 
@@ -58,7 +58,7 @@ def test_forward_matches_xla_path():
     ref = _xla_equiv(pc, neigh, feats, pa, pb, w, nd, nn)
     got = _fused_equiv(pc, neigh, feats, pa, pb, w, nd, nn)
     assert got.shape == ref.shape == (B, N, F, O)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=5e-5)
 
 
 def test_gradients_match_xla_path():
@@ -87,11 +87,11 @@ def test_standard_conv_matches_xla_path():
     nd, nn = jnp.asarray(3.0), jnp.asarray(0.13)
 
     rel = ops.relative_offsets(pc, pc, neigh, nd)
-    pne = ops.linear_pne(rel, pa3, pb, jax.nn.gelu) * neigh.mask[..., None]
+    pne = ops.linear_pne(rel, pa3, pb, ops.pne_activation("mlp_gelu")) * neigh.mask[..., None]
     ref = ops.basis_conv(pne, feats1, neigh, w, nn)
 
     got = ops.fused_conv(pc, pc, neigh, feats1, pa3, pb, w, nd, nn, tile_m=32)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=5e-5)
 
 
 def test_ragged_m_padding():
@@ -102,7 +102,7 @@ def test_ragged_m_padding():
     got = ops.fused_equiv_conv(
         pc, pc, neigh, feats, pa, pb, w, nd, nn, tile_m=64
     )  # 96 % 64 != 0
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=5e-5)
 
 
 @pytest.mark.parametrize("g_frames", [1, 2])
@@ -115,7 +115,7 @@ def test_single_frame_path(g_frames):
     nd, nn = jnp.asarray(3.0), jnp.asarray(0.11)
     ref = _xla_equiv(pc, neigh, feats, pa, pb, w, nd, nn)
     got = _fused_equiv(pc, neigh, feats, pa, pb, w, nd, nn)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=5e-5)
 
 
 def test_m_chunked_scan_path():
@@ -126,7 +126,7 @@ def test_m_chunked_scan_path():
     got = ops.fused_equiv_conv(
         pc, pc, neigh, feats, pa, pb, w, nd, nn, tile_m=32, m_chunk=32
     )  # N=96 -> 3 chunks
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=5e-5)
 
     def l_ref(p):
         out = _xla_equiv(pc, neigh, p[0], p[1], p[2], p[3], nd, nn)
