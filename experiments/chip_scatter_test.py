@@ -1,0 +1,89 @@
+"""Which transpose-reduction (scatter) formulation is fastest on this TPU?
+
+dfeatures[n, fc] = sum over edges (m,k) with idx[m,k]==n of g[m*K+k, fc].
+M=N=65536, K=16, FC=128 — the conv backward's feature-gradient reduction.
+"""
+import os, time
+import jax, jax.numpy as jnp
+
+N = 65536
+K = 16
+FC = 128
+E = N * K
+S = 4
+
+def bench(name, fn):
+    s0 = int.from_bytes(os.urandom(4), "little") % (2**31)
+    float(jax.device_get(fn(s0)))
+    best = 1e9
+    for _ in range(2):
+        s1 = int.from_bytes(os.urandom(4), "little") % (2**31)
+        t0 = time.perf_counter()
+        float(jax.device_get(fn(s1)))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name:28s} {best/S*1e3:8.2f} ms/step", flush=True)
+
+def make(key, dt):
+    k1, k2 = jax.random.split(key)
+    g = jax.random.normal(k1, (E, FC)).astype(dt)
+    idx = jax.random.randint(k2, (E,), 0, N)
+    return g, idx
+
+def scan_over(body, dt=jnp.float32):
+    @jax.jit
+    def fn(seed):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+        g, idx = make(key, dt)
+        def step(c, _):
+            out = body(g * (1 + 1e-12 * c).astype(g.dtype), idx)
+            return c + jnp.sum(out.astype(jnp.float32)), ()
+        c, _ = jax.lax.scan(step, jnp.zeros(()), None, length=S)
+        return c
+    return fn
+
+# 1) plain scatter-add f32
+bench("at_add f32", scan_over(
+    lambda g, idx: jnp.zeros((N, FC), jnp.float32).at[idx].add(g.astype(jnp.float32))))
+
+# 2) scatter-add bf16 accumulation
+bench("at_add bf16", scan_over(
+    lambda g, idx: jnp.zeros((N, FC), jnp.bfloat16).at[idx].add(g), jnp.bfloat16))
+
+# 3) sort payload + sorted segment_sum
+def sorted_seg(g, idx):
+    order = jnp.argsort(idx)
+    gs = jnp.take(g, order, axis=0).astype(jnp.float32)
+    ids = jnp.take(idx, order)
+    return jax.ops.segment_sum(gs, ids, num_segments=N, indices_are_sorted=True)
+bench("sort + segment_sum", scan_over(sorted_seg, jnp.bfloat16))
+
+# 4) inverse-table gather (R=2K, table precomputed OUTSIDE the timed loop
+#    semantics-wise; here inside the jit but outside the scan — as in
+#    production, where it is per-neighborhood geometry)
+R = 2 * K
+
+@jax.jit
+def inv_fn(seed):
+    key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+    g, idx = make(key, jnp.bfloat16)
+    order = jnp.argsort(idx)
+    ids_sorted = jnp.take(idx, order)
+    # rank of each edge within its target's run
+    start = jnp.searchsorted(ids_sorted, jnp.arange(N))          # [N]
+    pos = jnp.arange(E) - jnp.take(start, ids_sorted)            # rank in run
+    # inv[n, r] = edge id with target n and rank r (E if none)
+    inv = jnp.full((N, R), E, jnp.int32)
+    valid = pos < R
+    inv = inv.at[ids_sorted, jnp.minimum(pos, R - 1)].set(
+        jnp.where(valid, order, E).astype(jnp.int32)
+    )
+    def step(c, _):
+        gp = jnp.concatenate([g * (1 + 1e-12 * c).astype(g.dtype),
+                              jnp.zeros((1, FC), g.dtype)], 0)
+        rows = jnp.take(gp, inv.reshape(-1), axis=0).reshape(N, R, FC)
+        out = jnp.sum(rows.astype(jnp.float32), axis=1)
+        return c + jnp.sum(out), ()
+    c, _ = jax.lax.scan(step, jnp.zeros(()), None, length=S)
+    return c
+
+bench("inverse-table gather R=32", inv_fn)

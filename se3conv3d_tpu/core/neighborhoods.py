@@ -72,6 +72,10 @@ class Neighborhood(struct.PyTreeNode):
     # its own norm_neigh_dist scale to the offsets).
     equiv_rel: Optional[jnp.ndarray] = None  # [B, M, K, G, 3] offsets in receiver frames (unscaled)
     equiv_rot: Optional[jnp.ndarray] = None  # [B, M, K, G, F, R] relative-rotation features
+    # Packed transposed geometry for the fused Pallas conv
+    # (ops.pne_conv.packed_equiv_geometry): [B, G*(D+1), M*K*F],
+    # layer-independent (norm/bias fold into the projection operand).
+    equiv_geo_t: Optional[jnp.ndarray] = None
 
     @property
     def k(self) -> int:

@@ -13,6 +13,8 @@ but as pure trace-time sharing instead of mutable state.
 from __future__ import annotations
 
 import dataclasses
+
+import jax
 from typing import Dict, Optional, Tuple
 
 from ..core.hierarchy import Hierarchy
@@ -154,6 +156,23 @@ class NeighborhoodProvider:
             return neigh
         from ..ops import pne_conv as _ops
 
+        conv = self.spec.conv
+        use_fused = conv.use_fused
+        if use_fused is None:
+            use_fused = jax.default_backend() != "cpu"
+        fused_ok = (
+            "mlp" in conv.pne_type
+            and not conv.pne_type.endswith("softmax")
+            and conv.aggregation == "add"
+            and conv.rel_rot_type == "6D"
+        )
+        if use_fused and fused_ok:
+            # the fused path's cache payload: packed transposed geometry
+            geo_dt = "bfloat16" if conv.compute_dtype else None
+            geo_t = _ops.packed_equiv_geometry(
+                src_pc, dst_pc, neigh, geo_dt, conv.rel_rot_type
+            )
+            return neigh.replace(equiv_geo_t=geo_t)
         rel, rot = _ops.equiv_geometry_parts(
             src_pc, dst_pc, neigh, self.spec.conv.rel_rot_type
         )

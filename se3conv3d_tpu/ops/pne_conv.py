@@ -36,6 +36,7 @@ from ..core.rotation import matrix_to_quaternion, matrix_to_rotation_6d
 
 __all__ = [
     "pne_activation",
+    "packed_equiv_geometry",
     "linear_pne",
     "kp_pne",
     "basis_conv",
@@ -326,6 +327,87 @@ def _gather_feats_me_bwd(res, gout):
 _gather_feats_me.defvjp(_gather_feats_me_fwd, _gather_feats_me_bwd)
 
 
+def _equiv_geo_table(pc_in: PointCloud, f: int) -> jnp.ndarray:
+    """Combined per-source gather table: positions (f32 — offsets are
+    differences of nearby coordinates, bf16 would lose them) + all F*9
+    sender-frame components.  ONE row-gather per chunk: scalar
+    take_along_axis gathers measure ~25x slower than row gathers on this
+    TPU (experiments/chip_gather_test.py), and a 3-column gather pads to
+    128 lanes anyway, so the 21 columns ride along free."""
+    b = pc_in.positions.shape[0]
+    return jnp.concatenate(
+        [pc_in.positions, pc_in.frames.reshape(b, -1, f * 9)], axis=-1
+    )
+
+
+def _packed_equiv_geo_chunk(table, ctr_c, fo_c, idx_c, kk, f, g, geo_dt):
+    """Per-component packed geometry for one query chunk.
+
+    Returns ``geo_t [B, G*10, mc*K*F]`` — rows (g, [rel(3), rot6(6),
+    ones]), lanes edges — with NO ``[..., 3]``/``[..., 3, 3]``
+    intermediates (TPU lane-pads a minor dim of 3 to 128: a 6-40x HBM
+    tax; the einsum geometry measured 31.6 ms/step at DFaust scale vs
+    ~12 ms packed).  Offsets are unscaled; the norm folds into the
+    projection rows.
+    """
+    b, mc = idx_c.shape[:2]
+    e2 = mc * kk * f
+    gf = jax.vmap(lambda t, i: t[i])(table, idx_c.reshape(b, mc * kk))
+    gf = gf.reshape(b, mc, kk, 3 + f * 9)               # [B,mc,K,21]
+    rows = []
+    for gi in range(g):
+        # offset in receiver frame g: sum_c (src_c - ctr_c) * Rg[c, d]
+        for dd in range(3):
+            r = sum(
+                (gf[..., c] - ctr_c[..., c][:, :, None])
+                * fo_c[:, :, gi, c, dd][:, :, None]
+                for c in range(3)
+            )
+            r = jnp.broadcast_to(r[..., None], (b, mc, kk, f))
+            rows.append(r.reshape(b, e2).astype(geo_dt))
+        # 6D of Rg^T Rf: rows p<2 of A[p, q] = sum_d Rg[d, p] Rf[d, q]
+        for p in range(2):
+            for qq in range(3):
+                per_f = [
+                    sum(
+                        fo_c[:, :, gi, dd, p][:, :, None]
+                        * gf[..., 3 + fi * 9 + dd * 3 + qq]
+                        for dd in range(3)
+                    )
+                    for fi in range(f)
+                ]                                       # F x [B,mc,K]
+                r = jnp.stack(per_f, axis=-1)           # [B,mc,K,F]
+                rows.append(r.reshape(b, e2).astype(geo_dt))
+        rows.append(jnp.ones((b, e2), geo_dt))  # bias row
+    return jax.lax.stop_gradient(jnp.stack(rows, axis=1))
+
+
+def packed_equiv_geometry(
+    pc_in: PointCloud,
+    pc_out: PointCloud,
+    neigh: Neighborhood,
+    geo_dt=None,
+    rel_rot_type: str = "6D",
+) -> jnp.ndarray:
+    """Full packed geometry ``[B, G*10, M*K*F]`` for the fused conv.
+
+    The per-neighborhood cache payload (the reference's rot-tensor cache,
+    ``PNEConvLayerRotEquiv.py:53-71``): layer-independent (norm scale and
+    bias fold into the projection operand), so every conv on this
+    neighborhood shares it via ``Neighborhood.equiv_geo_t``.
+    """
+    if rel_rot_type != "6D":
+        raise NotImplementedError("packed geometry is 6D-only")
+    f = pc_in.frames.shape[2]
+    g = pc_out.frames.shape[2]
+    kk = neigh.idx.shape[2]
+    geo_dt = jnp.dtype(geo_dt) if geo_dt else pc_in.positions.dtype
+    table = _equiv_geo_table(pc_in, f)
+    return _packed_equiv_geo_chunk(
+        table, pc_out.positions, pc_out.frames, neigh.idx, kk, f, g, geo_dt
+    )
+
+
 def fused_equiv_conv(
     pc_in: PointCloud,
     pc_out: PointCloud,
@@ -382,50 +464,19 @@ def fused_equiv_conv(
     pa_scaled = jnp.concatenate(
         [proj_axes[:3] * norm_dist, proj_axes[3:]], axis=0
     )
-    # One combined per-source table: positions (f32 — offsets are
-    # differences of nearby coordinates, bf16 would lose them) + all F*9
-    # sender-frame components.  ONE row-gather per chunk: scalar
-    # take_along_axis gathers measure ~25x slower than row gathers on
-    # this TPU (experiments/chip_gather_test.py), and a 3-column gather
-    # pads to 128 lanes anyway, so the 21 columns ride along free.
-    table = jnp.concatenate(
-        [pc_in.positions, pc_in.frames.reshape(b, -1, f * 9)], axis=-1
-    )
+    cached = neigh.equiv_geo_t
+    table = None
+    if cached is None:
+        table = _equiv_geo_table(pc_in, f)
 
-    def chunk(ctr_c, fo_c, idx_c, mask_c):
-        mc = idx_c.shape[1]
-        e2 = mc * kk * f
-        gf = jax.vmap(lambda t, i: t[i])(table, idx_c.reshape(b, mc * kk))
-        gf = gf.reshape(b, mc, kk, 3 + f * 9)               # [B,mc,K,21]
-        rows = []
-        for gi in range(g):
-            # offset in receiver frame g: sum_c (src_c - ctr_c) * Rg[c, d]
-            for dd in range(3):
-                r = sum(
-                    (gf[..., c] - ctr_c[..., c][:, :, None])
-                    * fo_c[:, :, gi, c, dd][:, :, None]
-                    for c in range(3)
-                )
-                r = jnp.broadcast_to(r[..., None], (b, mc, kk, f))
-                rows.append(r.reshape(b, e2).astype(geo_dt))
-            # 6D of Rg^T Rf: rows p<2 of A[p, q] = sum_d Rg[d, p] Rf[d, q]
-            for p in range(2):
-                for qq in range(3):
-                    per_f = [
-                        sum(
-                            fo_c[:, :, gi, dd, p][:, :, None]
-                            * gf[..., 3 + fi * 9 + dd * 3 + qq]
-                            for dd in range(3)
-                        )
-                        for fi in range(f)
-                    ]                                       # F x [B,mc,K]
-                    r = jnp.stack(per_f, axis=-1)           # [B,mc,K,F]
-                    rows.append(r.reshape(b, e2).astype(geo_dt))
-            rows.append(jnp.ones((b, e2), geo_dt))  # bias row
-        geo_t = jax.lax.stop_gradient(jnp.stack(rows, axis=1))
+    def chunk(ctr_c, fo_c, idx_c, mask_c, geo_c):
+        if geo_c is None:
+            geo_c = _packed_equiv_geo_chunk(
+                table, ctr_c, fo_c, idx_c, kk, f, g, geo_dt
+            )
         feat_g = _gather_feats_me(feats_x, idx_c, mask_c)
         return fused_pne_conv(
-            geo_t, feat_g, pa_scaled, proj_biases, conv_weights,
+            geo_c, feat_g, pa_scaled, proj_biases, conv_weights,
             g_frames=g, act=act, tile_m=tile_m, compute_dtype=cdt_name,
         )
 
@@ -433,7 +484,7 @@ def fused_equiv_conv(
     fo_full = pc_out.frames
 
     if m <= m_chunk:
-        out = chunk(ctr_full, fo_full, neigh.idx, neigh.mask)
+        out = chunk(ctr_full, fo_full, neigh.idx, neigh.mask, cached)
         return (out * (norm_num_neighs / f)).astype(features.dtype)
 
     mp = ((m + m_chunk - 1) // m_chunk) * m_chunk
@@ -447,10 +498,23 @@ def fused_equiv_conv(
     xs = (chunked(ctr_full), chunked(fo_full), chunked(neigh.idx),
           chunked(neigh.mask))
 
-    def body(_, x):
-        return (), chunk(*x)
+    if cached is not None:
+        gd1 = cached.shape[1]
+        geo_p = jnp.pad(cached, ((0, 0), (0, 0), (0, pad * kk * f)))
+        geo_p = geo_p.reshape(b, gd1, nch, m_chunk * kk * f)
+        geo_p = jnp.moveaxis(geo_p, 2, 0)          # [nch, B, GD1, mc*K*F]
 
-    _, outs = jax.lax.scan(body, (), xs)
+        def body_c(_, x):
+            ctr_c, fo_c, idx_c, mask_c, geo_c = x
+            return (), chunk(ctr_c, fo_c, idx_c, mask_c, geo_c)
+
+        _, outs = jax.lax.scan(body_c, (), xs + (geo_p,))
+    else:
+
+        def body(_, x):
+            return (), chunk(*x, None)
+
+        _, outs = jax.lax.scan(body, (), xs)
     out = outs.swapaxes(0, 1).reshape(b, mp, g, -1)[:, :m]
     return (out * (norm_num_neighs / f)).astype(features.dtype)
 

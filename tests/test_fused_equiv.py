@@ -146,3 +146,22 @@ def test_m_chunked_scan_path():
             np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-3,
             err_msg=f"chunked grad mismatch: {name}",
         )
+
+
+def test_cached_packed_geometry_path():
+    """Pre-attached equiv_geo_t must give identical results (the
+    per-neighborhood cache shared by all convs on it)."""
+    pc, neigh, feats, pa, pb, w = _setup(jax.random.PRNGKey(6))
+    nd, nn = jnp.asarray(3.0), jnp.asarray(0.11)
+    ref = _fused_equiv(pc, neigh, feats, pa, pb, w, nd, nn)
+    geo_t = ops.packed_equiv_geometry(pc, pc, neigh)
+    neigh_c = neigh.replace(equiv_geo_t=geo_t)
+    got = ops.fused_equiv_conv(
+        pc, pc, neigh_c, feats, pa, pb, w, nd, nn, tile_m=32
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    # chunked scan with the cache
+    got_c = ops.fused_equiv_conv(
+        pc, pc, neigh_c, feats, pa, pb, w, nd, nn, tile_m=32, m_chunk=32
+    )
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref), atol=1e-5)
