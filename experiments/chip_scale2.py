@@ -13,7 +13,7 @@ for M in [int(x) for x in sys.argv[1].split(",")]:
         pa = jax.random.normal(ks[2], (D, Q)) * 0.3
         pb = jax.random.normal(ks[3], (Q,)) * 0.1
         w = jax.random.normal(ks[4], (C, Q, O)) * 0.1
-        g_w = jax.random.normal(ks[0], (B, M * E, G * D))
+        g_w = jax.random.normal(ks[0], (B, G * (D + 1), M * E))
         f_w = jax.random.normal(ks[1], (B, M, E, C))
 
         def loss(pa, pb, w, feat):

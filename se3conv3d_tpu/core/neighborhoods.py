@@ -131,6 +131,7 @@ def knn_neighborhood(
     k: int,
     chunk: int = _CHUNK,
     grid_cell_size: Optional[float] = None,
+    cell_cap: int = 32,
 ) -> Neighborhood:
     """k-nearest-neighbors from ``src`` for each ``query`` point.
 
@@ -140,14 +141,57 @@ def knn_neighborhood(
     is given and the source cloud exceeds ``GRID_AUTO_THRESHOLD``, the
     grid-bucketed search runs instead (exact while the k-th neighbor lies
     within 2.5 grid cells — callers pass the subsample cell size).
+    ``cell_cap`` bounds points per hash cell; occupancy beyond it silently
+    drops candidates (recall loss) — check ``cell_overflow_fraction`` at
+    calibration time for unusually dense data and raise the cap
+    (tests/test_grid_recall.py quantifies both regimes).
     """
     if grid_cell_size is not None and src.capacity >= GRID_AUTO_THRESHOLD:
         # 3x3x3 window at cell = 2.1 x spacing covers +-3.15 x spacing
         # (measured recall 0.99997 for k=16 at ScanNet density, 4.4x faster
         # than a 5x5x5 window with the same coverage); coverage scales with
-        # k^(1/3) for larger k.
+        # k^(1/3) for larger k.  Where the local spacing exceeds the hint
+        # (sparse regions — scan boundaries, isolated returns) the fine
+        # window under-fills; passes at 3x and 9x the cell backfill those
+        # rows (coverage up to +-28 x spacing), approaching the
+        # reference's unbounded exact kNN.  Rows an earlier pass fills
+        # completely keep its (exact-within-window) result.
         cell = 2.1 * float(grid_cell_size) * (max(k, 16) / 16.0) ** (1.0 / 3.0)
-        return grid_knn_neighborhood(src, query, k, cell_size=cell, window=3)
+        n = src.capacity
+        h_size = max(1 << (n - 1).bit_length(), 1024)
+
+        def per_example(sp, sm, qp, qm):
+            cands_i, cands_d = [], []
+            for scale in (1.0, 3.0, 9.0):
+                idx, ok, d2 = _grid_topk_neighbors(
+                    sp, sm, qp, qm, k, None, scale * cell, 3, h_size,
+                    cell_cap,
+                )
+                cands_i.append(jnp.where(ok, idx, -1))
+                cands_d.append(jnp.where(ok, d2, jnp.inf))
+            # union of the passes: duplicates carry bitwise-equal d2, so
+            # sort by candidate id, kill repeats, then take the k nearest.
+            ci = jnp.concatenate(cands_i, axis=1)          # [m, 3k]
+            cd = jnp.concatenate(cands_d, axis=1)
+            order = jnp.argsort(ci, axis=1)
+            ci = jnp.take_along_axis(ci, order, axis=1)
+            cd = jnp.take_along_axis(cd, order, axis=1)
+            dup = jnp.concatenate(
+                [jnp.zeros_like(ci[:, :1], bool), ci[:, 1:] == ci[:, :-1]],
+                axis=1,
+            )
+            cd = jnp.where(dup | (ci < 0), jnp.inf, cd)
+            neg, sel = jax.lax.top_k(-cd, k)
+            idx = jnp.take_along_axis(ci, sel, axis=1)
+            ok = jnp.isfinite(-neg) & qm[:, None]
+            return jnp.where(ok, idx, 0).astype(jnp.int32), ok
+
+        idx, mask = jax.vmap(per_example)(
+            src.positions, src.mask, query.positions, query.mask
+        )
+        return Neighborhood(
+            idx=idx, mask=mask, query_mask=query.mask, method="knn"
+        )
 
     def per_example(sp, sm, qp, qm):
         idx, mask, _ = _chunked_topk_neighbors(sp, sm, qp, qm, k, None, chunk)
@@ -327,7 +371,43 @@ def _grid_topk_neighbors(
     idx = idx.reshape(-1, k)[:m]
     d2 = d2.reshape(-1, k)[:m]
     ok = jnp.isfinite(d2) & query_mask[:, None]
-    return jnp.where(ok, idx, 0).astype(jnp.int32), ok
+    return jnp.where(ok, idx, 0).astype(jnp.int32), ok, d2
+
+
+def cell_overflow_fraction(
+    pc: PointCloud, cell_size: float, cell_cap: int = 32,
+    table_size: Optional[int] = None,
+) -> jnp.ndarray:
+    """Fraction of valid points dropped from the spatial-hash tables.
+
+    Cell-capacity overflow is the only way the grid search can miss a
+    true neighbor (hash collisions merely add distance-filtered
+    candidates) — surface this as a calibration-time diagnostic when
+    tuning ``cell_cap`` for unusually dense data
+    (tests/test_grid_recall.py).
+    """
+    n = pc.capacity
+    h_size = table_size or max(1 << (n - 1).bit_length(), 1024)
+
+    def per_example(pos, mask):
+        big = jnp.asarray(jnp.finfo(pos.dtype).max, pos.dtype)
+        origin = jnp.min(jnp.where(mask[:, None], pos, big), axis=0) - 1e-6
+        top = jnp.max(jnp.where(mask[:, None], pos, -big), axis=0) + 1e-6
+        dims = jnp.maximum(((top - origin) / cell_size).astype(jnp.int32) + 1, 1)
+        cell = jnp.floor((pos - origin) / cell_size).astype(jnp.int32)
+        h = jnp.where(mask, _cell_hash(cell, dims, h_size), h_size)
+        order = jnp.argsort(h, stable=True)
+        h_sorted = h[order]
+        start = jnp.concatenate(
+            [jnp.ones((1,), bool), h_sorted[1:] != h_sorted[:-1]]
+        )
+        pos_in_run = jnp.arange(n) - jax.lax.cummax(
+            jnp.where(start, jnp.arange(n), 0)
+        )
+        dropped = jnp.sum((pos_in_run >= cell_cap) & (h_sorted < h_size))
+        return dropped / jnp.maximum(jnp.sum(mask), 1)
+
+    return jax.vmap(per_example)(pc.positions, pc.mask)
 
 
 def grid_ball_query_neighborhood(
@@ -348,9 +428,10 @@ def grid_ball_query_neighborhood(
     r2 = float(radius) ** 2
 
     def per_example(sp, sm, qp, qm):
-        return _grid_topk_neighbors(
+        idx, ok, _ = _grid_topk_neighbors(
             sp, sm, qp, qm, k, r2, float(radius), 3, h_size, cell_cap
         )
+        return idx, ok
 
     idx, mask = jax.vmap(per_example)(
         src.positions, src.mask, query.positions, query.mask
@@ -383,9 +464,10 @@ def grid_knn_neighborhood(
     h_size = table_size or max(1 << (n - 1).bit_length(), 1024)
 
     def per_example(sp, sm, qp, qm):
-        return _grid_topk_neighbors(
+        idx, ok, _ = _grid_topk_neighbors(
             sp, sm, qp, qm, k, None, float(cell_size), window, h_size, cell_cap
         )
+        return idx, ok
 
     idx, mask = jax.vmap(per_example)(
         src.positions, src.mask, query.positions, query.mask

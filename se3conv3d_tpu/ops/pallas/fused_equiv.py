@@ -271,6 +271,9 @@ def _fused_single_fwd(geo_t, feat, projT, w2, act, g_frames, tm, cdt_name):
             (g_frames, tm, o), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((g_frames, mp, o), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=_interpret(),
     )(geo_p, feat_p, projT, w2)
     out = out[:, :m0]
@@ -312,6 +315,9 @@ def _fused_single_bwd(act, g_frames, tm, cdt_name, residuals, gout):
             jax.ShapeDtypeStruct((gq, gd1), jnp.float32),
             jax.ShapeDtypeStruct((gq, c, o), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=_interpret(),
     )(geo_p, feat_p, projT, w2, gout_p)
 

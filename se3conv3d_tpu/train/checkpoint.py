@@ -47,6 +47,10 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def all_steps(self):
+        """Sorted list of stored checkpoint steps (for ensembling)."""
+        return sorted(self._mgr.all_steps())
+
     def restore(self, state_template: Any, step: Optional[int] = None):
         """Restore (state, metadata); ``state_template`` provides the pytree
         structure/shapes (an abstract or freshly-initialised TrainState)."""

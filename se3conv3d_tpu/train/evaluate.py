@@ -53,6 +53,11 @@ class SegmentationVoter:
         self.accum: List[Optional[np.ndarray]] = [None] * len(dataset)
 
     def run_epoch(self, state, epoch: int):
+        """``state``: a TrainState or a list of them — each member of a
+        checkpoint ensemble accumulates its logits into the same per-scene
+        buffers (reference ``test_dfaust_rot.py:293-315`` /
+        ``test_rot.py:111-156`` ensembling protocol)."""
+        states = state if isinstance(state, (list, tuple)) else [state]
         self.dataset.increase_epoch_counter()
         for i in range(len(self.dataset)):
             sample = self.dataset[i]
@@ -63,30 +68,33 @@ class SegmentationVoter:
                 if k in ("positions", "features", "labels")
             }
             batch = pad_collate([keep], capacity=self.capacity)
-            out = self.trainer.eval_step(
-                state, batch, jax.random.PRNGKey(epoch * 100003 + i)
-            )
-            logits = np.asarray(jax.device_get(out["logits"]))[0]
-            mask = np.asarray(jax.device_get(out["mask"]))[0]
-            if "out_idx" in out:
-                idx = np.asarray(jax.device_get(out["out_idx"]))[0]
-            else:
-                idx = np.arange(self.capacity)
-            valid_ids = sample.get("valid_ids")
-            full_n = (
-                self.dataset.get_num_pts(i)
-                if hasattr(self.dataset, "get_num_pts")
-                else n_raw
-            )
-            if self.accum[i] is None:
-                self.accum[i] = np.zeros((full_n, self.num_classes), np.float64)
-            rows = np.nonzero(mask)[0]
-            idx_m = idx[rows]
-            ok = idx_m < n_raw
-            orig = idx_m[ok]
-            if valid_ids is not None:
-                orig = valid_ids[orig]
-            np.add.at(self.accum[i], orig, logits[rows[ok]])
+            for state_j in states:
+                out = self.trainer.eval_step(
+                    state_j, batch, jax.random.PRNGKey(epoch * 100003 + i)
+                )
+                logits = np.asarray(jax.device_get(out["logits"]))[0]
+                mask = np.asarray(jax.device_get(out["mask"]))[0]
+                if "out_idx" in out:
+                    idx = np.asarray(jax.device_get(out["out_idx"]))[0]
+                else:
+                    idx = np.arange(self.capacity)
+                valid_ids = sample.get("valid_ids")
+                full_n = (
+                    self.dataset.get_num_pts(i)
+                    if hasattr(self.dataset, "get_num_pts")
+                    else n_raw
+                )
+                if self.accum[i] is None:
+                    self.accum[i] = np.zeros(
+                        (full_n, self.num_classes), np.float64
+                    )
+                rows = np.nonzero(mask)[0]
+                idx_m = idx[rows]
+                ok = idx_m < n_raw
+                orig = idx_m[ok]
+                if valid_ids is not None:
+                    orig = valid_ids[orig]
+                np.add.at(self.accum[i], orig, logits[rows[ok]])
 
     def metrics(
         self,

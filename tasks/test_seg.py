@@ -17,11 +17,32 @@ from se3conv3d_tpu.train.evaluate import SegmentationVoter  # noqa: E402
 from se3conv3d_tpu.train.run import Experiment, make_datasets  # noqa: E402
 
 
+def restore_ensemble(exp, n_checkpoints: int):
+    """Restore the last ``n_checkpoints`` stored states (newest first).
+
+    Mirrors the reference's multi-checkpoint ensembling
+    (``tasks/Classification/test_rot.py:73-156``: N checkpoints x vote
+    epochs accumulate into shared logits).
+    """
+    template = exp.init_state()
+    steps = exp.ckpt.all_steps()
+    if not steps:
+        raise SystemExit(f"no checkpoint under {exp.log_folder}/ckpt")
+    states = []
+    for step in steps[-n_checkpoints:][::-1]:
+        restored, _ = exp.ckpt.restore(template, step=step)
+        states.append(restored)
+    return states
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--conf_file", required=True)
     ap.add_argument("--data_folder", required=True)
     ap.add_argument("--vote_epochs", type=int, default=30)
+    ap.add_argument("--checkpoints", type=int, default=1,
+                    help="ensemble the last N stored checkpoints "
+                         "(reference test_rot.py:73-156 protocol)")
     ap.add_argument("--smooth_segments", action="store_true")
     ap.add_argument("--log_folder", default=None)
     ap.add_argument("--save_output", default=None,
@@ -30,15 +51,11 @@ def main():
     args = ap.parse_args()
 
     exp = Experiment(args.conf_file, args.data_folder, log_folder=args.log_folder)
-    state = exp.init_state()
-    restored, _ = exp.ckpt.restore(state)
-    if restored is None:
-        raise SystemExit(f"no checkpoint under {exp.log_folder}/ckpt")
-    state = restored
+    states = restore_ensemble(exp, args.checkpoints)
 
     voter = SegmentationVoter(exp.trainer, exp.val_ds, exp.num_classes, exp.capacity)
     for epoch in range(args.vote_epochs):
-        voter.run_epoch(state, epoch)
+        voter.run_epoch(states, epoch)
         print(f"vote epoch {epoch + 1}/{args.vote_epochs}", flush=True)
 
     if hasattr(exp.val_ds, "scenes"):

@@ -130,3 +130,14 @@ def test_classification_voter_ensembles():
     voter.run_epoch([2.0, 3.0], epoch=0)  # two 'checkpoints'
     assert voter.accuracy() == 1.0
     np.testing.assert_allclose(voter.accum[:, 1], 5.0)
+
+
+def test_segmentation_voter_checkpoint_ensemble():
+    """A list of states accumulates each member's logits (reference
+    multi-checkpoint ensembling, test_rot.py:111-156)."""
+    ds = _FakeDataset()
+    trainer = _FakeTrainer(capacity=16, num_classes=4)
+    voter = SegmentationVoter(trainer, ds, num_classes=4, capacity=32)
+    voter.run_epoch([None, None, None], 0)  # 3-member ensemble, one epoch
+    acc = voter.accum[0]
+    assert acc.max() == 30.0  # 10.0 logit x 3 ensemble members

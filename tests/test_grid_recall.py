@@ -1,0 +1,135 @@
+"""Density-stress recall of the grid kNN / capped ball query.
+
+VERDICT round-1 #6: the 2.1x-spacing cell formula cited a measured recall
+but nothing pinned it at scale, and a ``cell_cap`` overflow in dense
+clusters could silently drop true neighbors.  Two regimes:
+
+  * a realistic surface-density scene (ScanNet-like: surfaces sampled at
+    ~the subsample spacing, plus genuinely sparse regions that force the
+    coarse fallback pass): default settings must reach recall >= 0.999;
+  * an adversarial volumetric-blob scene whose per-cell occupancy
+    overflows the default cap: ``cell_overflow_fraction`` must flag it,
+    and raising ``cell_cap`` must restore recall >= 0.999.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from se3conv3d_tpu.core.neighborhoods import (
+    ball_query_neighborhood,
+    cell_overflow_fraction,
+    knn_neighborhood,
+)
+from se3conv3d_tpu.core.pointcloud import PointCloud
+
+K = 16
+SPACING = 0.05  # typical level-0 subsample cell size (ScanNet init 0.04)
+
+
+def _surface(rng, origin, u_vec, v_vec, nu, nv, jitter):
+    uu, vv = np.meshgrid(np.arange(nu), np.arange(nv), indexing="ij")
+    pts = (
+        np.asarray(origin)
+        + uu[..., None] * np.asarray(u_vec)
+        + vv[..., None] * np.asarray(v_vec)
+    ).reshape(-1, 3)
+    return pts + rng.standard_normal(pts.shape) * jitter
+
+
+def _room_scene(rng):
+    """Floor + two walls + a table sampled at ~SPACING, plus a sparse
+    scatter (forces the coarse fallback for some queries)."""
+    s = SPACING
+    parts = [
+        _surface(rng, [0, 0, 0], [s, 0, 0], [0, 0, s], 150, 150, 0.01),
+        _surface(rng, [0, 0, 0], [s, 0, 0], [0, s, 0], 120, 56, 0.01),
+        _surface(rng, [0, 0, 0], [0, 0, s], [0, s, 0], 120, 56, 0.01),
+        _surface(rng, [1.5, 0.8, 1.5], [s, 0, 0], [0, 0, s], 30, 24, 0.008),
+        rng.uniform(0, 1, (1500, 3)) * [6.0, 2.8, 6.0],  # sparse scatter
+    ]
+    return np.concatenate(parts).astype(np.float32)
+
+
+def _blob_scene(rng):
+    room = rng.uniform(0, 1, (34000, 3)) * [6.0, 3.0, 6.0]
+    blobs = [
+        rng.uniform(0.5, 1, (3,)) * [5.0, 2.0, 5.0]
+        + rng.standard_normal((4000, 3)) * 0.1
+        for _ in range(3)
+    ]
+    return np.concatenate([room] + blobs).astype(np.float32)
+
+
+def _recall(scene, idx, qs):
+    d_all = np.linalg.norm(scene[qs][:, None] - scene[None], axis=-1)
+    kth = np.sort(d_all, axis=1)[:, K - 1]
+    got = np.linalg.norm(scene[qs][:, None] - scene[idx[qs]], axis=-1)
+    hits = (got <= kth[:, None] * (1 + 1e-5) + 1e-7).sum(1)
+    return (hits / K).mean()
+
+
+def test_grid_knn_recall_realistic_surfaces():
+    rng = np.random.default_rng(11)
+    scene = _room_scene(rng)
+    assert len(scene) >= 32768, "scene must engage the grid path"
+    pc = PointCloud(positions=jnp.asarray(scene)[None],
+                    mask=jnp.ones((1, len(scene)), bool))
+    # no adversarial density: the default cap must not overflow
+    assert float(cell_overflow_fraction(pc, 2.1 * SPACING)[0]) == 0.0
+    neigh = knn_neighborhood(pc, pc, K, grid_cell_size=SPACING)
+    assert np.asarray(neigh.mask[0]).all()
+    qs = rng.choice(len(scene), 1200, replace=False)
+    idx = np.asarray(neigh.idx[0])
+    # surface queries — the actual scan workload — must be near-exact;
+    # the isolated-scatter 3% rely on the coarse fallback passes whose
+    # big cells overflow the cap over surfaces (documented deviation:
+    # the reference's exact kNN has no such case).
+    surf_q = qs[qs < len(scene) - 1500]
+    sparse_q = qs[qs >= len(scene) - 1500]
+    r_surf = _recall(scene, idx, surf_q)
+    r_all = _recall(scene, idx, qs)
+    assert r_surf >= 0.999, f"surface recall {r_surf:.5f}"
+    assert r_all >= 0.99, f"overall recall {r_all:.5f}"
+    assert _recall(scene, idx, sparse_q) >= 0.8
+
+
+def test_grid_knn_recall_dense_blobs_needs_larger_cap():
+    rng = np.random.default_rng(12)
+    scene = _blob_scene(rng)
+    pc = PointCloud(positions=jnp.asarray(scene)[None],
+                    mask=jnp.ones((1, len(scene)), bool))
+    # diagnostic flags the overflow at the default cap...
+    frac = float(cell_overflow_fraction(pc, 2.1 * SPACING, cell_cap=32)[0])
+    assert frac > 0.02, f"blob scene should overflow cap=32 (frac={frac})"
+    # ...and a cap sized past the max occupancy restores recall.
+    assert float(cell_overflow_fraction(pc, 2.1 * SPACING, cell_cap=256)[0]) == 0.0
+    neigh = knn_neighborhood(
+        pc, pc, K, grid_cell_size=SPACING, cell_cap=256
+    )
+    qs = np.concatenate([
+        rng.choice(34000, 400, replace=False),
+        34000 + rng.choice(12000, 600, replace=False),  # blob-biased
+    ])
+    r = _recall(scene, np.asarray(neigh.idx[0]), qs)
+    assert r >= 0.999, f"blob-scene recall at cap=256: {r:.5f}"
+
+
+def test_capped_ball_query_keeps_nearest():
+    """Capped mode keeps the nearest-k (documented deviation from the
+    reference's reservoir sampling, store_neighbors.cu:46-114): verify
+    the kept set is exactly the k nearest inside the radius."""
+    rng = np.random.default_rng(5)
+    sub = _blob_scene(rng)[:4000]
+    pts = jnp.asarray(sub)[None]
+    pc = PointCloud(positions=pts, mask=jnp.ones((1, len(sub)), bool))
+    radius, cap = 0.35, 8
+    neigh = ball_query_neighborhood(pc, pc, radius, cap)
+    idx = np.asarray(neigh.idx[0])
+    mask = np.asarray(neigh.mask[0])
+    for q in rng.choice(len(sub), 50, replace=False):
+        d = np.linalg.norm(sub - sub[q], axis=-1)
+        inside = np.sort(d[d <= radius])
+        kept = np.sort(np.linalg.norm(sub[idx[q][mask[q]]] - sub[q], axis=-1))
+        want = inside[: len(kept)]
+        np.testing.assert_allclose(kept, want, atol=1e-5)
