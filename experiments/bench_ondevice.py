@@ -89,8 +89,10 @@ def conv_out(variant, pts, frames, idx, feats, pa, pb, w):
             pne, feats, neigh, w, nn, compute_dtype=jnp.bfloat16
         )
     cdt = "bfloat16" if variant == "fused_bf16" else None
+    mc = int(os.environ.get("MC", "16384"))
     return ops.fused_equiv_conv(
-        pc, pc, neigh, feats, pa, pb, w, nd, nn, tile_m=TM, compute_dtype=cdt
+        pc, pc, neigh, feats, pa, pb, w, nd, nn, tile_m=TM, compute_dtype=cdt,
+        m_chunk=mc,
     )
 
 
