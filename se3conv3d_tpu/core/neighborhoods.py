@@ -100,8 +100,12 @@ def _chunked_topk_neighbors(
     k: int,
     radius2: Optional[float],
     chunk: int,
+    rng: Optional[jax.Array] = None,
 ):
-    """Per-example blocked brute force: returns (idx [M,K], d2 [M,K])."""
+    """Per-example blocked brute force: returns (idx [M,K], d2 [M,K]).
+
+    With ``rng``, in-radius candidates are kept by uniform random
+    priority instead of distance (reservoir-sampling cap mode)."""
     m = query_pos.shape[0]
     pad = (-m) % chunk
     qp = jnp.pad(query_pos, ((0, pad), (0, 0)))
@@ -110,15 +114,30 @@ def _chunked_topk_neighbors(
 
     inf = jnp.asarray(jnp.inf, src_pos.dtype)
 
-    def one_chunk(q):
+    def one_chunk(args):
+        q, kr = args
         d2 = jnp.sum((q[:, None, :] - src_pos[None, :, :]) ** 2, axis=-1)
         d2 = jnp.where(src_mask[None, :], d2, inf)
         if radius2 is not None:
             d2 = jnp.where(d2 < radius2, d2, inf)
+        if rng is not None:
+            # uniform k-subset of the in-radius candidates via random
+            # priorities (the reference's reservoir sampling,
+            # store_neighbors.cu:46-114, without the atomics)
+            pri = jax.random.uniform(kr, d2.shape, src_pos.dtype)
+            score = jnp.where(jnp.isfinite(d2), pri, inf)
+            _, idx = jax.lax.top_k(-score, k)
+            dsel = jnp.take_along_axis(d2, idx, axis=1)
+            return idx.astype(jnp.int32), dsel
         neg, idx = jax.lax.top_k(-d2, k)
         return idx.astype(jnp.int32), -neg
 
-    idx, d2 = jax.lax.map(one_chunk, qp)
+    keys = (
+        jax.random.split(rng, n_chunks)
+        if rng is not None
+        else jnp.zeros((n_chunks, 2), jnp.uint32)
+    )
+    idx, d2 = jax.lax.map(one_chunk, (qp, keys))
     idx = idx.reshape(-1, k)[:m]
     d2 = d2.reshape(-1, k)[:m]
     valid = jnp.isfinite(d2) & query_mask[:, None]
@@ -209,25 +228,51 @@ def ball_query_neighborhood(
     radius: float,
     k: int,
     chunk: int = _CHUNK,
+    cap_mode: str = "nearest",
+    rng: Optional[jax.Array] = None,
 ) -> Neighborhood:
-    """Up to ``k`` nearest source points strictly within ``radius``.
+    """Up to ``k`` source points strictly within ``radius``.
 
     Replaces the reference CUDA ball-query pipeline
-    (``custom_ops/ball_query/ball_query.cu:22-104``); see module docstring
-    for the capping semantics.  Large source clouds dispatch to the
-    grid-bucketed search automatically (identical results up to
-    cell-capacity overflow).
-    """
-    if src.capacity >= GRID_AUTO_THRESHOLD:
-        return grid_ball_query_neighborhood(src, query, radius, k)
-    r2 = float(radius) ** 2
+    (``custom_ops/ball_query/ball_query.cu:22-104``).  When more than
+    ``k`` points fall inside the ball, ``cap_mode`` picks the kept set:
 
-    def per_example(sp, sm, qp, qm):
-        idx, mask, _ = _chunked_topk_neighbors(sp, sm, qp, qm, k, r2, chunk)
+      * ``'nearest'`` (default): deterministic nearest-k — a documented
+        deviation from the reference, which reservoir-samples uniformly;
+      * ``'reservoir'``: uniform random k-subset via per-candidate random
+        priorities (statistically identical to the reference's reservoir,
+        ``store_neighbors.cu:46-114``, but deterministic given ``rng``).
+        Requires ``rng``.
+
+    Large source clouds dispatch to the grid-bucketed search
+    automatically (identical results up to cell-capacity overflow).
+    """
+    if cap_mode not in ("nearest", "reservoir"):
+        raise ValueError(f"unknown cap_mode {cap_mode!r}")
+    if cap_mode == "reservoir" and rng is None:
+        raise ValueError("cap_mode='reservoir' requires an rng key")
+    use_rng = rng if cap_mode == "reservoir" else None
+    if src.capacity >= GRID_AUTO_THRESHOLD:
+        return grid_ball_query_neighborhood(
+            src, query, radius, k, rng=use_rng
+        )
+    r2 = float(radius) ** 2
+    b = src.positions.shape[0]
+    rngs = (
+        jax.random.split(use_rng, b)
+        if use_rng is not None
+        else jnp.zeros((b, 2), jnp.uint32)
+    )
+
+    def per_example(sp, sm, qp, qm, kr):
+        idx, mask, _ = _chunked_topk_neighbors(
+            sp, sm, qp, qm, k, r2, chunk,
+            rng=kr if use_rng is not None else None,
+        )
         return idx, mask
 
     idx, mask = jax.vmap(per_example)(
-        src.positions, src.mask, query.positions, query.mask
+        src.positions, src.mask, query.positions, query.mask, rngs
     )
     return Neighborhood(
         idx=idx, mask=mask, query_mask=query.mask, method="ball_query",
@@ -306,6 +351,7 @@ def _build_cell_table(pos, mask, origin, dims, cell_size, table_size, cell_cap):
 def _grid_topk_neighbors(
     src_pos, src_mask, query_pos, query_mask, k, radius2,
     cell_size, window, table_size, cell_cap, chunk: int = 4096,
+    rng=None,
 ):
     m = query_pos.shape[0]
     big = jnp.asarray(jnp.finfo(src_pos.dtype).max, src_pos.dtype)
@@ -350,7 +396,7 @@ def _grid_topk_neighbors(
     q_c = q_p.reshape(n_chunks, chunk, 3)
 
     def one_chunk(args):
-        hh, q = args
+        hh, q, kr = args
         cx = tx[hh].reshape(chunk, w3 * cell_cap)
         cy = ty[hh].reshape(chunk, w3 * cell_cap)
         cz = tz[hh].reshape(chunk, w3 * cell_cap)
@@ -363,11 +409,23 @@ def _grid_topk_neighbors(
         d2 = jnp.where(cnd >= 0, d2, inf)
         if radius2 is not None:
             d2 = jnp.where(d2 < radius2, d2, inf)
-        neg, sel = jax.lax.top_k(-d2, k)
+        if rng is not None:
+            # reservoir cap mode: uniform k-subset of in-range candidates
+            pri = jax.random.uniform(kr, d2.shape, src_pos.dtype)
+            score = jnp.where(jnp.isfinite(d2), pri, inf)
+            _, sel = jax.lax.top_k(-score, k)
+        else:
+            _, sel = jax.lax.top_k(-d2, k)
         idx = jnp.take_along_axis(cnd, sel, axis=1)
-        return idx, -neg
+        d2k = jnp.take_along_axis(d2, sel, axis=1)
+        return idx, d2k
 
-    idx, d2 = jax.lax.map(one_chunk, (h_c, q_c))
+    keys = (
+        jax.random.split(rng, n_chunks)
+        if rng is not None
+        else jnp.zeros((n_chunks, 2), jnp.uint32)
+    )
+    idx, d2 = jax.lax.map(one_chunk, (h_c, q_c, keys))
     idx = idx.reshape(-1, k)[:m]
     d2 = d2.reshape(-1, k)[:m]
     ok = jnp.isfinite(d2) & query_mask[:, None]
@@ -417,6 +475,7 @@ def grid_ball_query_neighborhood(
     k: int,
     cell_cap: int = 32,
     table_size: Optional[int] = None,
+    rng=None,
 ) -> Neighborhood:
     """Ball query via a spatial hash grid with cell size = radius.
 
@@ -426,15 +485,21 @@ def grid_ball_query_neighborhood(
     n = src.capacity
     h_size = table_size or max(1 << (n - 1).bit_length(), 1024)
     r2 = float(radius) ** 2
+    b = src.positions.shape[0]
+    rngs = (
+        jax.random.split(rng, b) if rng is not None
+        else jnp.zeros((b, 2), jnp.uint32)
+    )
 
-    def per_example(sp, sm, qp, qm):
+    def per_example(sp, sm, qp, qm, kr):
         idx, ok, _ = _grid_topk_neighbors(
-            sp, sm, qp, qm, k, r2, float(radius), 3, h_size, cell_cap
+            sp, sm, qp, qm, k, r2, float(radius), 3, h_size, cell_cap,
+            rng=kr if rng is not None else None,
         )
         return idx, ok
 
     idx, mask = jax.vmap(per_example)(
-        src.positions, src.mask, query.positions, query.mask
+        src.positions, src.mask, query.positions, query.mask, rngs
     )
     return Neighborhood(
         idx=idx, mask=mask, query_mask=query.mask, method="ball_query",

@@ -133,3 +133,33 @@ def test_capped_ball_query_keeps_nearest():
         kept = np.sort(np.linalg.norm(sub[idx[q][mask[q]]] - sub[q], axis=-1))
         want = inside[: len(kept)]
         np.testing.assert_allclose(kept, want, atol=1e-5)
+
+
+def test_reservoir_cap_mode_uniform_sampling():
+    """cap_mode='reservoir' keeps a uniform random k-subset of in-radius
+    candidates (the reference's store_neighbors.cu:46-114 semantics,
+    deterministic given rng) — checked by selection-frequency statistics.
+    """
+    rng = np.random.default_rng(9)
+    # a tight cluster: every point within radius of every other
+    pts = rng.standard_normal((1, 60, 3)).astype(np.float32) * 0.05
+    pc = PointCloud(positions=jnp.asarray(pts), mask=jnp.ones((1, 60), bool))
+    radius, k = 1.0, 8
+    counts = np.zeros(60)
+    trials = 60
+    from se3conv3d_tpu.core.neighborhoods import ball_query_neighborhood as bq
+    for t in range(trials):
+        nb = bq(pc, pc, radius, k, cap_mode="reservoir",
+                rng=jax.random.PRNGKey(t))
+        idx = np.asarray(nb.idx[0])
+        mask = np.asarray(nb.mask[0])
+        assert mask.all()  # cluster always fills k
+        counts += np.bincount(idx[0][mask[0]], minlength=60)
+    # query 0 drew k of 60 per trial: expected hits per source = t*k/60 = 8
+    expect = trials * k / 60
+    assert counts.mean() == pytest.approx(expect, rel=1e-9)
+    assert counts.std() < expect  # spread across sources, not degenerate
+    # nearest mode is deterministic and distance-ordered instead
+    nb1 = bq(pc, pc, radius, k)
+    nb2 = bq(pc, pc, radius, k)
+    np.testing.assert_array_equal(np.asarray(nb1.idx), np.asarray(nb2.idx))
