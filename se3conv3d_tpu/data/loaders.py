@@ -51,6 +51,9 @@ MN40_BASE_AUGMENTATIONS = [
 ]
 
 # Reference ``loaders/ScanNet.py:211-216``.
+# Official ScanNet-200 class list (reference ScanNet.py:217-228).
+SCANNET200_CLASS_NAMES = ['unannotated', 'wall', 'chair', 'floor', 'table', 'door', 'couch', 'cabinet', 'shelf', 'desk', 'office chair', 'bed', 'pillow', 'sink', 'picture', 'window', 'toilet', 'bookshelf', 'monitor', 'curtain', 'book', 'armchair', 'coffee table', 'box', 'refrigerator', 'lamp', 'kitchen cabinet', 'towel', 'clothes', 'tv', 'nightstand', 'counter', 'dresser', 'stool', 'cushion', 'plant', 'ceiling', 'bathtub', 'end table', 'dining table', 'keyboard', 'bag', 'backpack', 'toilet paper', 'printer', 'tv stand', 'whiteboard', 'blanket', 'shower curtain', 'trash can', 'closet', 'stairs', 'microwave', 'stove', 'shoe', 'computer tower', 'bottle', 'bin', 'ottoman', 'bench', 'board', 'washing machine', 'mirror', 'copier', 'basket', 'sofa chair', 'file cabinet', 'fan', 'laptop', 'shower', 'paper', 'person', 'paper towel dispenser', 'oven', 'blinds', 'rack', 'plate', 'blackboard', 'piano', 'suitcase', 'rail', 'radiator', 'recycling bin', 'container', 'wardrobe', 'soap dispenser', 'telephone', 'bucket', 'clock', 'stand', 'light', 'laundry basket', 'pipe', 'clothes dryer', 'guitar', 'toilet paper holder', 'seat', 'speaker', 'column', 'bicycle', 'ladder', 'bathroom stall', 'shower wall', 'cup', 'jacket', 'storage bin', 'coffee maker', 'dishwasher', 'paper towel roll', 'machine', 'mat', 'windowsill', 'bar', 'toaster', 'bulletin board', 'ironing board', 'fireplace', 'soap dish', 'kitchen counter', 'doorframe', 'toilet paper dispenser', 'mini fridge', 'fire extinguisher', 'ball', 'hat', 'shower curtain rod', 'water cooler', 'paper cutter', 'tray', 'shower door', 'pillar', 'ledge', 'toaster oven', 'mouse', 'toilet seat cover dispenser', 'furniture', 'cart', 'storage container', 'scale', 'tissue box', 'light switch', 'crate', 'power outlet', 'decoration', 'sign', 'projector', 'closet door', 'vacuum cleaner', 'candle', 'plunger', 'stuffed animal', 'headphones', 'dish rack', 'broom', 'guitar case', 'range hood', 'dustpan', 'hair dryer', 'water bottle', 'handicap bar', 'purse', 'vent', 'shower floor', 'water pitcher', 'mailbox', 'bowl', 'paper bag', 'alarm clock', 'music stand', 'projector screen', 'divider', 'laundry detergent', 'bathroom counter', 'object', 'bathroom vanity', 'closet wall', 'laundry hamper', 'bathroom stall door', 'ceiling light', 'trash bin', 'dumbbell', 'stair rail', 'tube', 'bathroom cabinet', 'cd case', 'closet rod', 'coffee kettle', 'structure', 'shower head', 'keyboard piano', 'case of water bottles', 'coat rack', 'storage organizer', 'folded chair', 'fire alarm', 'power strip', 'calendar', 'poster', 'potted plant', 'luggage', 'mattress']
+
 SCANNET20_CLASS_NAMES = [
     "unannotated", "wall", "floor", "cabinet", "bed", "chair", "sofa",
     "table", "door", "window", "bookshelf", "picture", "counter", "desk",
@@ -290,8 +293,22 @@ class ScanNetDataset:
             AugPipeline(color_augmentations) if color_augmentations else None
         )
         self.rng = np.random.default_rng(seed)
-        self.class_names = list(SCANNET20_CLASS_NAMES)
+        if dataset == "scannet200":
+            self.class_names = list(SCANNET200_CLASS_NAMES)
+        else:
+            self.class_names = list(SCANNET20_CLASS_NAMES)
         self.mask_classes = [0]
+        if dataset == "scannet200" and "train" not in split:
+            # classes absent from the val/test annotation set are masked
+            # out of metrics (reference ScanNet.py:231-237)
+            only_train = [
+                "bicycle", "storage container", "candle", "guitar case",
+                "purse", "alarm clock", "music stand", "cd case",
+                "structure", "storage organizer", "luggage",
+            ]
+            self.mask_classes += [
+                self.class_names.index(c) for c in only_train
+            ]
 
         with open(os.path.join(data_folder, "color_stats.txt")) as f:
             lines = f.readlines()

@@ -1,8 +1,9 @@
 """Classification network (flax).
 
-Counterpart of reference ``models/ClassNet.py:8-153`` (without the unused
-``GLOBAL_EQUIV_FEATUREVECTOR`` all-points-conv path, which no shipped config
-enables; the invariant pooling paths are complete).
+Counterpart of reference ``models/ClassNet.py:8-153``, including the
+``GLOBAL_EQUIV_FEATUREVECTOR`` all-points-conv path
+(``ModelSpec.global_equiv_featurevector``, reference ``:131-148``) and the
+invariant frame/batch pooling variants.
 """
 from __future__ import annotations
 

@@ -112,6 +112,84 @@ def _cast(x, dtype):
     return x if dtype is None else x.astype(dtype)
 
 
+def _blk2(x):
+    """Pair-pack ``[TM, A, B] -> [TM//2, 2A, 2B]`` block-diagonal.
+
+    Two points' per-point matmuls fuse into ONE MXU issue: a batched
+    per-point dot like ``[GQ, E] @ [E, C]`` uses a fraction of the
+    128x128x128 MXU tile, and the pair blockdiag fills it (probes
+    p8/p9/b3) — halving the per-point issue count for a few VMEM copies.
+    """
+    p = x.shape[0] // 2
+    a, b = x.shape[1], x.shape[2]
+    x4 = x.reshape(p, 2, a, b)
+    z = jnp.zeros((p, a, b), x.dtype)
+    top = jnp.concatenate([x4[:, 0], z], axis=2)
+    bot = jnp.concatenate([z, x4[:, 1]], axis=2)
+    return jnp.concatenate([top, bot], axis=1)
+
+
+def _unblk2(r, a, b):
+    """Extract the diagonal blocks: ``[P, 2A, 2B] -> [2P, A, B]``."""
+    top = r[:, :a, :b]
+    bot = r[:, a:, b:]
+    return jnp.concatenate(
+        [top[:, None], bot[:, None]], axis=1
+    ).reshape(2 * r.shape[0], a, b)
+
+
+# Pair-packing on/off (A/B measurement; tiles must be even-sized).
+PAIR_PACK = False
+
+
+def _dot_e_contract(lhs, rhs, cdt):
+    """``out[m, X, Y] = sum_e lhs[m, e, X] * rhs[m, e, Y]`` (contract dim 1)."""
+    if PAIR_PACK and lhs.shape[0] % 2 == 0:
+        r = jax.lax.dot_general(
+            _cast(_blk2(lhs), cdt), _cast(_blk2(rhs), cdt),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return _unblk2(r, lhs.shape[2], rhs.shape[2])
+    return jax.lax.dot_general(
+        _cast(lhs, cdt), _cast(rhs, cdt),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_last_contract(lhs, rhs, cdt):
+    """``out[m, A, B] = sum_c lhs[m, A, c] * rhs[m, B, c]`` (NT, dim 2/2)."""
+    if PAIR_PACK and lhs.shape[0] % 2 == 0:
+        r = jax.lax.dot_general(
+            _cast(_blk2(lhs), cdt), _cast(_blk2(rhs), cdt),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return _unblk2(r, lhs.shape[1], rhs.shape[1])
+    return jax.lax.dot_general(
+        _cast(lhs, cdt), _cast(rhs, cdt),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_mid_contract(lhs, rhs, cdt):
+    """``out[m, A, C] = sum_g lhs[m, A, g] * rhs[m, g, C]`` (dim 2/1)."""
+    if PAIR_PACK and lhs.shape[0] % 2 == 0:
+        r = jax.lax.dot_general(
+            _cast(_blk2(lhs), cdt), _cast(_blk2(rhs), cdt),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return _unblk2(r, lhs.shape[1], rhs.shape[2])
+    return jax.lax.dot_general(
+        _cast(lhs, cdt), _cast(rhs, cdt),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
 # --- forward kernel ----------------------------------------------------------
 
 
@@ -130,11 +208,7 @@ def _fwd_kernel(geo_ref, feat_ref, projT_ref, w2_ref, out_ref, *,
     feat = _cast(feat_ref[:], cdt)                         # [tm, e, c]
 
     # basis_t[m, gq, c] = sum_e pne3[m, e, gq] * feat[m, e, c]
-    basis_t = jax.lax.dot_general(
-        pne3, feat,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                                      # [tm, gq, c] f32
+    basis_t = _dot_e_contract(pne3, feat, cdt)             # [tm, gq, c] f32
     basis_b = _cast(jnp.swapaxes(basis_t, 0, 1), cdt)      # [gq, tm, c]
 
     # per-lane weight contraction, batched over (g, q):
@@ -162,11 +236,7 @@ def _bwd_kernel(geo_ref, feat_ref, projT_ref, w2_ref, g_ref,
     pne3 = _cast(jnp.swapaxes(pne_t, 0, 1).reshape(tm, e, gq), cdt)
     feat = _cast(feat_ref[:], cdt)
 
-    basis_t = jax.lax.dot_general(                         # recompute fwd
-        pne3, feat,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                                      # [tm, gq, c]
+    basis_t = _dot_e_contract(pne3, feat, cdt)             # recompute fwd
     basis_b = _cast(jnp.swapaxes(basis_t, 0, 1), cdt)      # [gq, tm, c]
 
     # cotangent arrives as [g, tm, o]; broadcast over q -> [gq, tm, o].
@@ -193,17 +263,11 @@ def _bwd_kernel(geo_ref, feat_ref, projT_ref, w2_ref, g_ref,
     dbasis_t = _cast(jnp.swapaxes(dbasis_b, 0, 1), cdt)    # [tm, gq, c]
 
     # dpne3[m, e, gq] = sum_c feat[m, e, c] * dbasis_t[m, gq, c]  (NT)
-    dpne3 = jax.lax.dot_general(
-        feat, dbasis_t,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
+    dpne3 = _dot_last_contract(feat, dbasis_t, cdt)
     # dfeat[m, e, c] = sum_gq pne3[m, e, gq] * dbasis_t[m, gq, c]
-    dfeat_ref[:] = jax.lax.dot_general(
-        pne3, dbasis_t,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(dfeat_ref.dtype)
+    dfeat_ref[:] = _dot_mid_contract(pne3, dbasis_t, cdt).astype(
+        dfeat_ref.dtype
+    )
 
     dact3 = jnp.swapaxes(dact_t, 0, 1).reshape(tm, e, gq)
     dpre_r = (dpne3 * dact3).reshape(tm * e, gq)           # [tm*e, gq] f32

@@ -139,6 +139,11 @@ class ClassificationVoter:
         for start in range(0, n, self.batch_size):
             idx = list(range(start, min(start + self.batch_size, n)))
             samples = [self.dataset[i] for i in idx]
+            # pad the trailing partial batch to the fixed batch size so
+            # the jitted eval step never recompiles (padded rows are
+            # dropped below because only `idx` positions accumulate)
+            while len(samples) < self.batch_size:
+                samples.append(samples[-1])
             batch = pad_collate(
                 [
                     {"positions": s["positions"], "features": s["features"],
@@ -153,7 +158,7 @@ class ClassificationVoter:
                 )
                 logits = np.asarray(jax.device_get(out["logits"]))
                 self.accum[idx] += logits[: len(idx)]
-            self.labels[idx] = [int(s["label"]) for s in samples]
+            self.labels[idx] = [int(s["label"]) for s in samples[: len(idx)]]
 
     def accuracy(self) -> float:
         return float((self.accum.argmax(-1) == self.labels).mean())

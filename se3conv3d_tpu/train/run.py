@@ -125,9 +125,12 @@ class Experiment:
             accum_steps=int(self.tr.get("accum_grads", 1)),
             pct_start=float(self.tr.get("pct_start", 0.3)),
         )
+        mask_classes = getattr(self.train_ds, "mask_classes", None)
         settings = TrainSettings(
             label_smoothing=float(self.tr.get("label_smoothing", 0.0)),
-            ignore_label=0 if self.dataset_name.startswith("scannet") else None,
+            # the dataset declares which class the loss ignores
+            # (reference mask_classes_, ScanNet.py:230-237)
+            ignore_label=mask_classes[0] if mask_classes else None,
             task=self.task,
         )
         self.mesh = make_mesh(n_devices) if n_devices else None
