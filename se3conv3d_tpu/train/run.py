@@ -268,13 +268,30 @@ class Experiment:
                 total += bsz
             return {"accuracy": correct / max(total, 1)}
         metrics = SemSegMetrics.empty(self.num_classes)
+        self._last_val_cloud = None
         for batch in self._batches(self.val_ds, False):
+            dev_batch = self._put(batch)
             out = self.trainer.eval_step(
-                state, self._put(batch), jax.random.PRNGKey(0)
+                state, dev_batch, jax.random.PRNGKey(0)
             )
             pred = np.argmax(jax.device_get(out["logits"]), -1)
             labels = jax.device_get(out["labels"])
             mask = jax.device_get(out["mask"])
+            if self._last_val_cloud is None:
+                # first example of the first batch, for 3D wandb panels
+                # (reference train_dfaust_rot.py:340-366)
+                pos = np.asarray(jax.device_get(dev_batch["positions"]))[0]
+                if "out_idx" in out:
+                    # logits live on the subsampled output cloud
+                    oi = np.asarray(jax.device_get(out["out_idx"]))[0]
+                    pos = pos[np.clip(oi, 0, len(pos) - 1)]
+                m0 = np.asarray(mask[0], bool)
+                n_keep = min(int(m0.sum()), pred.shape[1])
+                self._last_val_cloud = (
+                    pos[: len(m0)][m0][:n_keep],
+                    np.asarray(pred[0])[m0][:n_keep],
+                    np.asarray(labels[0])[m0][:n_keep],
+                )
             metrics = metrics.update(pred, labels, mask)
         class_mask = None
         if self.dataset_name.startswith("scannet"):
@@ -321,6 +338,18 @@ class Experiment:
                 if val[key] > best:
                     best = val[key]
                     self.ckpt.save(epoch, state, {"epoch": epoch, "best": best})
+                cloud = getattr(self, "_last_val_cloud", None)
+                if wandb.active and cloud is not None:
+                    pos, pred_c, lbl_c = cloud
+                    wandb.log_cloud(
+                        "val_point_cloud_pred", pos, pred_c,
+                        self.num_classes, step=epoch,
+                    )
+                    if epoch < val_freq:  # ground truth once
+                        wandb.log_cloud(
+                            "val_point_cloud_gt", pos, lbl_c,
+                            self.num_classes, step=epoch,
+                        )
             elif (epoch + 1) % save_freq == 0:
                 self.ckpt.save(epoch, state, {"epoch": epoch, "best": best})
             wandb.log(log, step=epoch)

@@ -73,6 +73,35 @@ class WandbLogger:
         if self._run is not None:
             self._run.log(metrics, step=step)
 
+    def log_cloud(self, key: str, positions, class_ids, num_classes: int,
+                  step: Optional[int] = None):
+        """3D point-cloud panel colored by class id (reference
+        ``train_dfaust_rot.py:340-366`` wandb.Object3D logging)."""
+        if self._run is None:
+            return
+        try:
+            import numpy as _np
+            import wandb
+
+            ids = _np.asarray(class_ids).astype(_np.int64)
+            # tab20-style palette without a matplotlib dependency
+            base = _np.asarray([
+                [31, 119, 180], [255, 127, 14], [44, 160, 44], [214, 39, 40],
+                [148, 103, 189], [140, 86, 75], [227, 119, 194],
+                [127, 127, 127], [188, 189, 34], [23, 190, 207],
+                [174, 199, 232], [255, 187, 120], [152, 223, 138],
+                [255, 152, 150], [197, 176, 213], [196, 156, 148],
+                [247, 182, 210], [199, 199, 199], [219, 219, 141],
+                [158, 218, 229],
+            ], _np.float64)
+            colors = base[ids % len(base)]
+            cloud = _np.concatenate(
+                [_np.asarray(positions, _np.float64), colors], axis=1
+            )
+            self._run.log({key: wandb.Object3D(cloud)}, step=step)
+        except Exception:
+            pass
+
     def finish(self):
         if self._run is not None:
             self._run.finish()
