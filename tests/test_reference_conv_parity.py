@@ -196,3 +196,55 @@ def test_equiv_conv_matches_reference(ref_layer, path):
         path, pts, idx, frames, feats, pa, pb, w, norm_dist, norm_n
     )
     np.testing.assert_allclose(got, ref, atol=3e-5, rtol=1e-4)
+
+
+def test_standard_conv_matches_reference(ref_layer):
+    """Standard (non-equivariant) conv vs the reference's own LinearPNE
+    math + feat_basis_proj contract + weight einsum
+    (``PNEConvLayer.py:178-229``, ``custom_ops/PNE.py:38-40``)."""
+    pts, idx, frames, feats, pa, pb, w = _make_problem(7)
+    feats1 = feats[:, 0, :]  # [N, C]
+    pa3 = pa[:3]
+    norm_dist, norm_n = 2.5, 1.0 / K
+
+    # reference forward (LinearPNE is pure torch — replay its math)
+    t_pts = torch.from_numpy(pts)
+    neigh = _RefNeigh(idx)
+    rel = (
+        t_pts[neigh.neighbors_[:, 1]] - t_pts[neigh.neighbors_[:, 0]]
+    ) * norm_dist
+    pt_pne = torch.matmul(rel, torch.from_numpy(pa3)) + torch.from_numpy(pb)
+    pt_pne = torch.nn.functional.gelu(pt_pne)
+    result = _feat_basis_proj(
+        pt_pne, torch.from_numpy(feats1), neigh.neighbors_, neigh.start_ids_
+    )
+    ref = (
+        torch.einsum("nik,iko->no", result, torch.from_numpy(w)) * norm_n
+    ).numpy()
+
+    # ours: fused + XLA paths
+    from se3conv3d_tpu.ops import pne_conv as ops2
+    import se3conv3d_tpu.ops.pallas.fused_equiv as fe
+
+    fe.FUSED_INTERPRET = True
+    pc = PointCloud(
+        positions=jnp.asarray(pts)[None], mask=jnp.ones((1, N), bool)
+    )
+    nb = Neighborhood(
+        idx=jnp.asarray(idx)[None], mask=jnp.ones((1, N, K), bool),
+        query_mask=jnp.ones((1, N), bool),
+    )
+    args = (
+        jnp.asarray(feats1)[None], jnp.asarray(pa3), jnp.asarray(pb),
+        jnp.asarray(w), jnp.asarray(norm_dist), jnp.asarray(norm_n),
+    )
+    got_fused = np.asarray(
+        ops2.fused_conv(pc, pc, nb, *args, tile_m=32)[0]
+    )
+    rel_x = ops2.relative_offsets(pc, pc, nb, args[4])
+    pne_x = ops2.linear_pne(
+        rel_x, args[1], args[2], ops2.pne_activation("mlp_gelu")
+    ) * nb.mask[..., None]
+    got_xla = np.asarray(ops2.basis_conv(pne_x, args[0], nb, args[3], args[5])[0])
+    np.testing.assert_allclose(got_fused, ref, atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(got_xla, ref, atol=3e-5, rtol=1e-4)

@@ -172,3 +172,34 @@ def test_quaternion_matrix_roundtrip_matches_reference(ref):
     theirs_q = ref.matrix_to_quaternion(torch.from_numpy(theirs_m)).numpy()
     ours_q = np.asarray(matrix_to_quaternion(jnp.asarray(ours_m)))
     np.testing.assert_allclose(ours_q, theirs_q, atol=1e-4)
+
+
+def test_frame_selection_distribution_matches_reference():
+    """Frame parity is SET-level (eigh column signs are solver-specific);
+    the distribution-equivalence argument (PARITY.md) rests on the
+    selection step consuming the 4-frame sign set UNIFORMLY: both
+    implementations draw a uniform random permutation of the 4 candidates
+    and keep the first F. Verify OUR sampler's ordered-pair distribution
+    is uniform over the 4P2 = 12 outcomes (chi-square), which is exactly
+    the law of the reference's ``torch.multinomial`` over uniform weights
+    (``PointcloudRotEquiv.py:146-168``)."""
+    from se3conv3d_tpu.core.frames import shuffle_and_select_frames
+
+    n_pts, trials, f = 512, 40, 2
+    # encode candidate identity in the frame payload
+    cand = jnp.broadcast_to(
+        jnp.arange(4, dtype=jnp.float32)[None, :, None, None], (n_pts, 4, 3, 3)
+    )
+    counts = np.zeros((4, 4))
+    for t in range(trials):
+        sel = shuffle_and_select_frames(jax.random.PRNGKey(t), cand, f)
+        ids = np.asarray(sel[:, :, 0, 0]).astype(int)  # [n_pts, 2]
+        for a, b in ids:
+            counts[a, b] += 1
+    assert np.trace(counts) == 0  # sampling without replacement
+    off = counts[~np.eye(4, dtype=bool)]
+    n = off.sum()
+    expected = n / 12.0
+    chi2 = float(((off - expected) ** 2 / expected).sum())
+    # 11 dof; P(chi2 > 31.3) ~ 0.001
+    assert chi2 < 31.3, f"ordered-pair distribution not uniform: chi2={chi2:.1f}"
