@@ -311,12 +311,16 @@ def _cell_hash(cell: jnp.ndarray, dims: jnp.ndarray, table_size: int) -> jnp.nda
 
 
 def _build_cell_table(pos, mask, origin, dims, cell_size, table_size, cell_cap):
-    """Bucket points into [H, C] hash tables.
+    """Bucket points into ONE packed hash table ``[H, 4*cell_cap]``.
 
-    Returns ``(idx_table [H, C] int32 (-1 = empty), coord_tables 3 x [H, C]
-    f32 (inf = empty))``: storing coordinates alongside indices lets the
-    query side gather whole cell rows by bucket id instead of per-candidate
-    elements.
+    Row layout is component-major ``[idx_bits(cap) | x(cap) | y(cap) |
+    z(cap)]`` (idx stored as bitcast f32; empty slots carry idx=-1 bits /
+    inf coords).  One row-scatter builds it and one row-gather per
+    candidate cell reads it: the earlier 4-table design cost FIVE scalar
+    scatters per build, and scalar scatter/gather runs ~25x slower than
+    row ops on this TPU (experiments/chip_gather_test.py) — the packed
+    table cut the 131k-point grid ball query from 293 ms to the
+    row-op regime.
     """
     n = pos.shape[0]
     cell = jnp.floor((pos - origin) / cell_size).astype(jnp.int32)
@@ -325,7 +329,8 @@ def _build_cell_table(pos, mask, origin, dims, cell_size, table_size, cell_cap):
     # capacity from real cells.
     h = jnp.where(mask, h, table_size)
     # Rank within bucket via sort + run-position (stable, so ranks are
-    # deterministic in original point order).
+    # deterministic in original point order).  Working in SORTED order
+    # avoids the inverse-permutation scalar scatter.
     order = jnp.argsort(h, stable=True)
     h_sorted = h[order]
     start_of_run = jnp.concatenate(
@@ -334,18 +339,28 @@ def _build_cell_table(pos, mask, origin, dims, cell_size, table_size, cell_cap):
     pos_in_run = jnp.arange(n) - jax.lax.cummax(
         jnp.where(start_of_run, jnp.arange(n), 0)
     )
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(pos_in_run.astype(jnp.int32))
-    slot_ok = mask & (rank < cell_cap)
-    slots = jnp.where(slot_ok, h * cell_cap + rank, table_size * cell_cap)
-    idx_table = jnp.full((table_size * cell_cap + 1,), -1, jnp.int32)
-    idx_table = idx_table.at[slots].set(jnp.arange(n, dtype=jnp.int32))
-    inf = jnp.asarray(jnp.inf, pos.dtype)
-    coord_tables = []
-    for d in range(3):
-        t = jnp.full((table_size * cell_cap + 1,), inf, pos.dtype)
-        t = t.at[slots].set(pos[:, d])
-        coord_tables.append(t[:-1].reshape(table_size, cell_cap))
-    return idx_table[:-1].reshape(table_size, cell_cap), coord_tables
+    slot_ok = (h_sorted < table_size) & (pos_in_run < cell_cap)
+    slots = jnp.where(
+        slot_ok, h_sorted * cell_cap + pos_in_run, table_size * cell_cap
+    ).astype(jnp.int32)
+    idx_bits = jax.lax.bitcast_convert_type(
+        jnp.arange(n, dtype=jnp.int32), jnp.float32
+    )
+    payload = jnp.concatenate(
+        [idx_bits[:, None], pos.astype(jnp.float32)], axis=1
+    )[order]                                                  # [N, 4] sorted
+    neg1_bits = jax.lax.bitcast_convert_type(
+        jnp.full((), -1, jnp.int32), jnp.float32
+    )
+    init_row = jnp.stack(
+        [neg1_bits, jnp.inf, jnp.inf, jnp.inf]
+    ).astype(jnp.float32)
+    tab = jnp.broadcast_to(
+        init_row, (table_size * cell_cap + 1, 4)
+    ).at[slots].set(payload)[:-1]
+    # interleaved (rank, comp) -> component-major rows [H, 4*cap]
+    tab = tab.reshape(table_size, cell_cap, 4).transpose(0, 2, 1)
+    return tab.reshape(table_size, 4 * cell_cap)
 
 
 def _grid_topk_neighbors(
@@ -360,7 +375,7 @@ def _grid_topk_neighbors(
     )
     top = jnp.max(jnp.where(src_mask[:, None], src_pos, -big), axis=0) + 1e-6
     dims = jnp.maximum(((top - origin) / cell_size).astype(jnp.int32) + 1, 1)
-    idx_table, (tx, ty, tz) = _build_cell_table(
+    table = _build_cell_table(
         src_pos, src_mask, origin, dims, cell_size, table_size, cell_cap
     )
 
@@ -376,12 +391,16 @@ def _grid_topk_neighbors(
     in_bounds = jnp.all((cells >= 0) & (cells < dims[None, None, :]), axis=-1)
     h = _cell_hash(cells, dims, table_size)  # [M, W^3]
     h = jnp.where(in_bounds, h, table_size)
-    # Sentinel row appended: -1 indices / inf coords.
-    idx_t = jnp.concatenate([idx_table, jnp.full((1, cell_cap), -1, jnp.int32)])
-    inf = jnp.asarray(jnp.inf, src_pos.dtype)
-    tx = jnp.concatenate([tx, jnp.full((1, cell_cap), inf, src_pos.dtype)])
-    ty = jnp.concatenate([ty, jnp.full((1, cell_cap), inf, src_pos.dtype)])
-    tz = jnp.concatenate([tz, jnp.full((1, cell_cap), inf, src_pos.dtype)])
+    # Sentinel row appended: -1 index bits / inf coords.
+    inf = jnp.asarray(jnp.inf, jnp.float32)
+    neg1_bits = jax.lax.bitcast_convert_type(
+        jnp.full((), -1, jnp.int32), jnp.float32
+    )
+    sent = jnp.concatenate([
+        jnp.full((1, cell_cap), neg1_bits, jnp.float32),
+        jnp.full((1, 3 * cell_cap), inf, jnp.float32),
+    ], axis=1)
+    table = jnp.concatenate([table, sent])
 
     # Chunk queries; gather whole cell ROWS per bucket id (C entries per
     # gather index) instead of per-candidate elements — far fewer gather
@@ -397,10 +416,13 @@ def _grid_topk_neighbors(
 
     def one_chunk(args):
         hh, q, kr = args
-        cx = tx[hh].reshape(chunk, w3 * cell_cap)
-        cy = ty[hh].reshape(chunk, w3 * cell_cap)
-        cz = tz[hh].reshape(chunk, w3 * cell_cap)
-        cnd = idx_t[hh].reshape(chunk, w3 * cell_cap)
+        rows = table[hh].reshape(chunk, w3, 4, cell_cap)
+        cnd = jax.lax.bitcast_convert_type(
+            rows[:, :, 0], jnp.int32
+        ).reshape(chunk, w3 * cell_cap)
+        cx = rows[:, :, 1].reshape(chunk, w3 * cell_cap)
+        cy = rows[:, :, 2].reshape(chunk, w3 * cell_cap)
+        cz = rows[:, :, 3].reshape(chunk, w3 * cell_cap)
         d2 = (
             (cx - q[:, 0:1]) ** 2
             + (cy - q[:, 1:2]) ** 2
