@@ -14,7 +14,8 @@ def bench(seed):
     pts = jax.random.uniform(key, (1, N, 3)) * 8.0
     def step(c, _):
         pc = PointCloud(positions=pts * (1 + 1e-12 * c), mask=jnp.ones((1, N), bool))
-        nb = grid_ball_query_neighborhood(pc, pc, R, K)
+        import os as _os
+        nb = grid_ball_query_neighborhood(pc, pc, R, K, cell_cap=int(_os.environ.get('CAP','32')))
         return c + jnp.sum(nb.idx) + jnp.sum(nb.mask), ()
     c, _ = jax.lax.scan(step, jnp.zeros(()), None, length=S)
     return c

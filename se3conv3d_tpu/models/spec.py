@@ -54,6 +54,9 @@ class ModelSpec:
     num_blocks: Tuple[int, ...] = (2, 2, 2, 2, 2)
     num_features: Tuple[int, ...] = (64, 128, 192, 256, 320)
     neigh_type: str = "ball_query"
+    # per-cell candidate bound of the grid ball query (surface occupancy
+    # at radius ~ 2x spacing is ~4-9; see ball_query_neighborhood)
+    bq_cell_cap: int = 16
     radius_scale: float = 2.0
     num_knn: int = 16
     radius_scale_blocks: float = 2.0
@@ -131,7 +134,8 @@ class NeighborhoodProvider:
     ) -> Neighborhood:
         if neigh_type == "ball_query":
             neigh = ball_query_neighborhood(
-                src_pc, dst_pc, radius, self.spec.max_neighbors
+                src_pc, dst_pc, radius, self.spec.max_neighbors,
+                cell_cap=self.spec.bq_cell_cap,
             )
         elif neigh_type == "knn":
             neigh = knn_neighborhood(src_pc, dst_pc, k, grid_cell_size=spacing)

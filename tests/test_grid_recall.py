@@ -163,3 +163,22 @@ def test_reservoir_cap_mode_uniform_sampling():
     nb1 = bq(pc, pc, radius, k)
     nb2 = bq(pc, pc, radius, k)
     np.testing.assert_array_equal(np.asarray(nb1.idx), np.asarray(nb2.idx))
+
+
+def test_bq_cell_cap_16_lossless_at_surface_density():
+    """At surface density with radius ~ 2x spacing, per-cell occupancy
+    stays well under 16, so the halved candidate volume changes nothing:
+    cap=16 and cap=32 grid ball queries agree row-for-row (as sets)."""
+    rng = np.random.default_rng(21)
+    scene = _room_scene(rng)
+    pc = PointCloud(positions=jnp.asarray(scene)[None],
+                    mask=jnp.ones((1, len(scene)), bool))
+    radius, k = 2 * SPACING, 16
+    a = ball_query_neighborhood(pc, pc, radius, k, cell_cap=16)
+    b = ball_query_neighborhood(pc, pc, radius, k, cell_cap=32)
+    ia, ma = np.asarray(a.idx[0]), np.asarray(a.mask[0])
+    ib, mb = np.asarray(b.idx[0]), np.asarray(b.mask[0])
+    np.testing.assert_array_equal(ma.sum(1), mb.sum(1))
+    qs = rng.choice(len(scene), 300, replace=False)
+    for q in qs:
+        assert set(ia[q][ma[q]]) == set(ib[q][mb[q]])
