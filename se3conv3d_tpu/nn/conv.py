@@ -185,6 +185,13 @@ class PNEConv(nn.Module):
             and not self.pne_type.endswith("softmax")
             and self.aggregation == "add"
             and (not self.equivariant or self.rel_rot_type == "6D")
+            # the kernel keeps W2 [G*Q, C, O] (+ its grad accumulator)
+            # resident in VMEM: past ~2M weight elements that no longer
+            # fits, and those wide-channel convs sit at the deep,
+            # few-point levels where the XLA einsum path's intermediates
+            # are small anyway
+            and self.in_features * self.num_basis * self.out_features
+            <= 2 * 1024 * 1024
         )
         use_fused = self.use_fused
         if use_fused is None:

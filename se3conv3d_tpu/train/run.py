@@ -44,7 +44,8 @@ __all__ = ["Experiment", "make_datasets"]
 _NUM_CLASSES = {"dfaust": 20, "scannet20": 21, "scannet200": 201, "modelnet40": 40}
 
 
-def make_datasets(ds_cfg: dict, data_folder: str, split: str):
+def make_datasets(ds_cfg: dict, data_folder: str, split: str,
+                  load_segments: bool = False):
     """Instantiate the dataset named by the ``Dataset`` section."""
     name = ds_cfg["dataset"]
     train = split == "train"
@@ -70,6 +71,7 @@ def make_datasets(ds_cfg: dict, data_folder: str, split: str):
             prob_mix3d=float(ds_cfg.get("prob_mix3d", 0.0)) if train else 0.0,
             split=ds_cfg.get("train_split", "train") if train
             else ds_cfg.get("test_split", "val"),
+            load_segments=load_segments,
         )
     raise KeyError(name)
 
@@ -209,7 +211,11 @@ class Experiment:
             for i in range(0, len(order) - bs + 1 if train else len(order), bs):
                 idx = order[i : i + bs]
                 samples = [dataset[j] for j in idx]
-                yield pad_collate(samples, capacity=self.capacity)
+                batch = pad_collate(samples, capacity=self.capacity)
+                if "label" in batch and "labels" not in batch:
+                    # classification: per-example scalar labels
+                    batch["labels"] = batch.pop("label")
+                yield batch
 
     def _put(self, batch):
         if self.mesh is not None:

@@ -51,6 +51,12 @@ def main():
     args = ap.parse_args()
 
     exp = Experiment(args.conf_file, args.data_folder, log_folder=args.log_folder)
+    if args.smooth_segments and not getattr(exp.val_ds, "load_segments", False):
+        # rebuild the eval dataset with ScanNet segment ids attached
+        # (reference test_scannet_rot.py load_segments=True path)
+        exp.val_ds = make_datasets(
+            exp.ds_cfg, args.data_folder, "val", load_segments=True
+        )
     states = restore_ensemble(exp, args.checkpoints)
 
     voter = SegmentationVoter(exp.trainer, exp.val_ds, exp.num_classes, exp.capacity)
