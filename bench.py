@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 import jax
@@ -45,6 +46,13 @@ from se3conv3d_tpu.core.neighborhoods import Neighborhood
 from se3conv3d_tpu.core.pointcloud import PointCloud
 from se3conv3d_tpu.core.rotation import random_rotations
 from se3conv3d_tpu.ops import pne_conv as ops
+
+# Hard wall-clock watchdog (VERDICT r2: rc=124 with zero output is not a
+# deliverable).  A daemon THREAD, not signal.alarm: a hung tunnel call can
+# block in C without returning to the bytecode loop, so a SIGALRM handler
+# might never run; a thread always can print + _exit.
+WATCHDOG_SEC = float(os.environ.get("BENCH_WATCHDOG_SEC", "420"))
+PROBE_SEC = float(os.environ.get("BENCH_PROBE_SEC", "120"))
 
 # Workload: one trunk-level conv of the DFaust rot-equiv config.
 B = 1
@@ -148,50 +156,153 @@ def fresh_seed() -> int:
     return int.from_bytes(os.urandom(4), "little") % (2**31)
 
 
+class _Watchdog:
+    """Emits a diagnostic (or best-so-far) JSON line and exits if the
+    backend hangs past a deadline.  The driver then still gets a parsed
+    BENCH_rN.json instead of rc=124 silence."""
+
+    def __init__(self):
+        self.t0 = time.monotonic()
+        self.deadline = self.t0 + PROBE_SEC
+        self.stage = "startup"
+        self.best = None  # best full result dict so far
+        self.emitted = False
+        self.lock = threading.Lock()
+        t = threading.Thread(target=self._run, daemon=True)
+        t.start()
+
+    def set_stage(self, stage: str, deadline_from_now: float):
+        with self.lock:
+            self.stage = stage
+            self.deadline = time.monotonic() + deadline_from_now
+
+    def emit(self, payload: dict, code: int = 0):
+        with self.lock:
+            if self.emitted:
+                return
+            self.emitted = True
+        print(json.dumps(payload))
+        sys.stdout.flush()
+        if code == 0 and threading.current_thread() is threading.main_thread():
+            return  # normal path: let main() return normally
+        os._exit(code)
+
+    def _run(self):
+        while True:
+            time.sleep(2.0)
+            with self.lock:
+                if self.emitted:
+                    return
+                expired = time.monotonic() > self.deadline
+                stage, best = self.stage, self.best
+            if expired:
+                if best is not None:
+                    best = dict(best)
+                    best["note"] = (
+                        f"watchdog fired during stage '{stage}'; reporting "
+                        "best completed measurement"
+                    )
+                    self.emit(best, code=0)
+                else:
+                    self.emit(
+                        {
+                            "metric": "equiv_pneconv_fwd_bwd_points_per_sec",
+                            "value": 0.0,
+                            "unit": "points/sec/chip",
+                            "vs_baseline": 0.0,
+                            "error": (
+                                f"watchdog: stage '{stage}' exceeded its "
+                                f"deadline ({time.monotonic()-self.t0:.0f}s "
+                                "elapsed); backend likely unhealthy"
+                            ),
+                        },
+                        code=0,
+                    )
+                os._exit(0)
+
+
+def _result_payload(pts_per_sec, sec_per_step, dtype) -> dict:
+    flops = conv_flops_fwd_bwd()
+    mfu = flops / sec_per_step / PEAK_FLOPS
+    return {
+        "metric": "equiv_pneconv_fwd_bwd_points_per_sec",
+        "value": round(pts_per_sec, 1),
+        "unit": "points/sec/chip",
+        "vs_baseline": round(pts_per_sec / TARGET, 4),
+        "sec_per_step": round(sec_per_step, 6),
+        "flops_per_step": flops,
+        "achieved_tflops": round(flops / sec_per_step / 1e12, 3),
+        "mfu_vs_bf16_peak": round(mfu, 4),
+        "dtype": "bf16" if dtype else "f32",
+        "kernel": "pallas_fused",
+        "steps_per_exec": S,
+        "convs_per_geometry": LAYERS,
+    }
+
+
 def main():
+    dog = _Watchdog()
+
+    # Fail-fast backend probe: one tiny op; a sick tunnel hangs here and
+    # the watchdog reports within PROBE_SEC instead of the driver timeout.
+    dog.set_stage("backend-probe", PROBE_SEC)
+    float(jax.device_get(jnp.zeros(()) + 1.0))
+
+    # bf16 is the production dtype and the headline number; the f32 sweep
+    # doubles compile time for a strictly worse result — opt-in only.
+    dtypes = ("bfloat16", None) if os.environ.get("BENCH_ALL_DTYPES") else (
+        "bfloat16",
+    )
     results = []
-    for dtype in ("bfloat16", None):
+    for dtype in dtypes:
+        tag = "bf16" if dtype else "f32"
         bench = make_bench(dtype)
+        dog.set_stage(f"compile-{tag}", WATCHDOG_SEC)
         float(jax.device_get(bench(fresh_seed())))  # compile + warm
         times = []
-        for _ in range(3):
+        for i in range(3):
+            dog.set_stage(f"measure-{tag}-{i}", 90.0)
             t0 = time.perf_counter()
             float(jax.device_get(bench(fresh_seed())))
             times.append(time.perf_counter() - t0)
         sec_per_step = min(times) / (S * LAYERS)  # per conv layer
         results.append((B * N / sec_per_step, sec_per_step, dtype))
+        best = max(results, key=lambda r: r[0])
+        dog.best = _result_payload(*best)  # emitted if a later stage hangs
 
     pts_per_sec, sec_per_step, dtype = max(results, key=lambda r: r[0])
-    flops = conv_flops_fwd_bwd()
-    mfu = flops / sec_per_step / PEAK_FLOPS
+    payload = _result_payload(pts_per_sec, sec_per_step, dtype)
 
-    if mfu > 1.0:
+    if payload["mfu_vs_bf16_peak"] > 1.0:
         print(
-            f"BENCH INVALID: implied MFU {mfu:.2%} exceeds 100% of the "
-            f"{PEAK_FLOPS/1e12:.0f} TFLOP/s chip peak - measurement artifact",
+            f"BENCH INVALID: implied MFU {payload['mfu_vs_bf16_peak']:.2%} "
+            f"exceeds 100% of the {PEAK_FLOPS/1e12:.0f} TFLOP/s chip peak "
+            "- measurement artifact",
             file=sys.stderr,
         )
         sys.exit(1)
 
-    print(
-        json.dumps(
-            {
-                "metric": "equiv_pneconv_fwd_bwd_points_per_sec",
-                "value": round(pts_per_sec, 1),
-                "unit": "points/sec/chip",
-                "vs_baseline": round(pts_per_sec / TARGET, 4),
-                "sec_per_step": round(sec_per_step, 6),
-                "flops_per_step": flops,
-                "achieved_tflops": round(flops / sec_per_step / 1e12, 3),
-                "mfu_vs_bf16_peak": round(mfu, 4),
-                "dtype": "bf16" if dtype else "f32",
-                "kernel": "pallas_fused",
-                "steps_per_exec": S,
-                "convs_per_geometry": LAYERS,
-            }
-        )
-    )
+    dog.emit(payload)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001 - emit parseable diagnostics
+        print(
+            json.dumps(
+                {
+                    "metric": "equiv_pneconv_fwd_bwd_points_per_sec",
+                    "value": 0.0,
+                    "unit": "points/sec/chip",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(e).__name__}: {e}"[:500],
+                }
+            )
+        )
+        sys.stdout.flush()
+        # rc=0 on purpose: the driver must record a parsed JSON line (the
+        # error field + value 0 is self-describing) rather than rc-only.
+        sys.exit(0)

@@ -126,6 +126,28 @@ class HierarchyConfig:
             caps.append(prev)
         return tuple(caps)
 
+    def with_capacity(self, capacity: int) -> "HierarchyConfig":
+        """Rescale every static level capacity for a different scene size.
+
+        Arbitrary-size full-scene inference (reference feeds whole scenes
+        of up to ~1.5M points at batch 1, ``test_scannet_rot.py:107-134``)
+        runs each scene at a capacity bucket; the per-level capacities
+        scale with the input so subsampled levels don't truncate.
+        """
+        base = self.out_capacity or (
+            self.capacities[0] if self.capacities[0] else capacity
+        )
+        ratio = capacity / max(int(base), 1)
+        caps = tuple(
+            None if c is None else max(int(-(-int(c) * ratio // 1)), 32)
+            for c in self.capacities
+        )
+        return dataclasses.replace(
+            self,
+            capacities=caps,
+            out_capacity=capacity if self.out_capacity else None,
+        )
+
 
 class Hierarchy(struct.PyTreeNode):
     """A built point hierarchy: per-level clouds + subsample maps.

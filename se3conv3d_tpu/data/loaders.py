@@ -89,6 +89,12 @@ def pad_collate(
     """
     ns = [s["positions"].shape[0] for s in samples]
     cap = capacity if capacity is not None else round_up_bucket(max(ns), bucket)
+    if max(ns) > cap:
+        raise ValueError(
+            f"sample with {max(ns)} points exceeds the batch capacity "
+            f"{cap}; crop upstream or evaluate it at a larger capacity "
+            "bucket (SegmentationVoter does this automatically)"
+        )
     b = len(samples)
     out: Dict[str, np.ndarray] = {}
     out["mask"] = np.zeros((b, cap), bool)

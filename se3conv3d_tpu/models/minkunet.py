@@ -54,7 +54,14 @@ def voxelize(positions, mask, features, cell: float, dims: Tuple[int, int, int])
     """
     b, n, c = features.shape
     dims_arr = jnp.asarray(dims, jnp.int32)
-    coords = jnp.floor(positions / cell).astype(jnp.int32)
+    # Per-example masked min-corner origin: clouds with negative
+    # coordinates (e.g. after CenterAug) must not collapse into boundary
+    # voxels (same origin handling as _grid_topk_neighbors).
+    big = jnp.asarray(jnp.finfo(positions.dtype).max, positions.dtype)
+    origin = jnp.min(
+        jnp.where(mask[..., None], positions, big), axis=1, keepdims=True
+    )
+    coords = jnp.floor((positions - origin) / cell).astype(jnp.int32)
     coords = jnp.clip(coords, 0, dims_arr - 1)
     flat = (coords[..., 0] * dims[1] + coords[..., 1]) * dims[2] + coords[..., 2]
     nvox = dims[0] * dims[1] * dims[2]

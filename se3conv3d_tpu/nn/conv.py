@@ -36,6 +36,11 @@ from .icosphere import icosphere_points
 
 __all__ = ["PNEConv", "ConvFactory"]
 
+# Max conv-weight elements (C*Q*O) per fused-kernel call: W2 and its grad
+# accumulator stay VMEM-resident.  Wider convs are O-chunked in dispatch —
+# the cutoff does NOT change which path runs (tests monkeypatch it).
+FUSED_WEIGHT_VMEM_CUTOFF = 2 * 1024 * 1024
+
 
 def _uniform_init(stddev: float):
     def init(key, shape, dtype=jnp.float32):
@@ -185,13 +190,6 @@ class PNEConv(nn.Module):
             and not self.pne_type.endswith("softmax")
             and self.aggregation == "add"
             and (not self.equivariant or self.rel_rot_type == "6D")
-            # the kernel keeps W2 [G*Q, C, O] (+ its grad accumulator)
-            # resident in VMEM: past ~2M weight elements that no longer
-            # fits, and those wide-channel convs sit at the deep,
-            # few-point levels where the XLA einsum path's intermediates
-            # are small anyway
-            and self.in_features * self.num_basis * self.out_features
-            <= 2 * 1024 * 1024
         )
         use_fused = self.use_fused
         if use_fused is None:
@@ -199,14 +197,41 @@ class PNEConv(nn.Module):
         use_fused = use_fused and fused_ok
         act_name = self.pne_type.split("_")[-1] if fused_ok else None
 
+        # The kernel keeps W2 [G*Q, C, O] (+ its grad accumulator) resident
+        # in VMEM; wide-channel convs split the O axis into <=2M-element
+        # chunks and concatenate (the cached packed geometry is shared, so
+        # the only repeated work is the feature gather at the deep,
+        # few-point levels where those convs live).  NOTE this predicate
+        # must stay shape-independent so NeighborhoodProvider's cache
+        # payload choice (models/spec.py) agrees with the dispatch here.
+        def _o_chunks():
+            w_cut = FUSED_WEIGHT_VMEM_CUTOFF
+            per_o = self.in_features * self.num_basis
+            o_chunk = max(w_cut // per_o, 1)
+            if o_chunk >= self.out_features:
+                return [conv_weights]
+            if o_chunk > 128:  # lane-align chunk boundaries
+                o_chunk -= o_chunk % 128
+            return [
+                conv_weights[..., o0 : o0 + o_chunk]
+                for o0 in range(0, self.out_features, o_chunk)
+            ]
+
         if self.equivariant:
             if use_fused:
-                return ops.fused_equiv_conv(
-                    pc_in, pc_out, neigh, features,
-                    proj_axes, proj_biases, conv_weights,
-                    norm_dist, norm_neighs,
-                    act=act_name, rel_rot_type=self.rel_rot_type,
-                    compute_dtype=cdt,
+                outs = [
+                    ops.fused_equiv_conv(
+                        pc_in, pc_out, neigh, features,
+                        proj_axes, proj_biases, w_c,
+                        norm_dist, norm_neighs,
+                        act=act_name, rel_rot_type=self.rel_rot_type,
+                        compute_dtype=cdt,
+                    )
+                    for w_c in _o_chunks()
+                ]
+                return (
+                    outs[0] if len(outs) == 1
+                    else jnp.concatenate(outs, axis=-1)
                 )
             geo = ops.equiv_geometry(
                 pc_in, pc_out, neigh, norm_dist, self.rel_rot_type
@@ -219,10 +244,16 @@ class PNEConv(nn.Module):
             )
 
         if use_fused:
-            return ops.fused_conv(
-                pc_in, pc_out, neigh, features,
-                proj_axes, proj_biases, conv_weights,
-                norm_dist, norm_neighs, act=act_name, compute_dtype=cdt,
+            outs = [
+                ops.fused_conv(
+                    pc_in, pc_out, neigh, features,
+                    proj_axes, proj_biases, w_c,
+                    norm_dist, norm_neighs, act=act_name, compute_dtype=cdt,
+                )
+                for w_c in _o_chunks()
+            ]
+            return (
+                outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
             )
 
         rel = ops.relative_offsets(pc_in, pc_out, neigh, norm_dist)

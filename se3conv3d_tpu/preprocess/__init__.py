@@ -1,3 +1,10 @@
+from .amass import (
+    AmassFrames,
+    iter_pose_params,
+    load_amass_test,
+    load_amass_train,
+    regenerate_dfaust,
+)
 from .dfaust import (
     merge_joint_labels,
     pose_smpl_body,

@@ -45,12 +45,33 @@ class SegmentationVoter:
       capacity: static pad capacity for single-scene batches.
     """
 
-    def __init__(self, trainer, dataset, num_classes: int, capacity: int):
+    def __init__(self, trainer, dataset, num_classes: int, capacity: int,
+                 trainer_factory=None, bucket: int = 16384):
         self.trainer = trainer
         self.dataset = dataset
         self.num_classes = num_classes
         self.capacity = capacity
         self.accum: List[Optional[np.ndarray]] = [None] * len(dataset)
+        # capacity (int) -> Trainer whose eval step runs at that capacity;
+        # lets over-capacity scenes (real ScanNet scenes reach ~1.5M pts,
+        # reference feeds them whole at batch 1) evaluate one-shot at a
+        # rounded-up capacity bucket instead of crashing in pad_collate.
+        self.trainer_factory = trainer_factory
+        self.bucket = bucket
+        self._bucket_trainers = {}
+
+    def _trainer_for(self, n_raw: int):
+        if n_raw <= self.capacity:
+            return self.trainer, self.capacity
+        if self.trainer_factory is None:
+            raise ValueError(
+                f"scene with {n_raw} points exceeds the evaluator capacity "
+                f"{self.capacity} and no trainer_factory was provided"
+            )
+        cap = ((n_raw + self.bucket - 1) // self.bucket) * self.bucket
+        if cap not in self._bucket_trainers:
+            self._bucket_trainers[cap] = self.trainer_factory(cap)
+        return self._bucket_trainers[cap], cap
 
     def run_epoch(self, state, epoch: int):
         """``state``: a TrainState or a list of them — each member of a
@@ -67,9 +88,10 @@ class SegmentationVoter:
                 for k, v in sample.items()
                 if k in ("positions", "features", "labels")
             }
-            batch = pad_collate([keep], capacity=self.capacity)
+            trainer, cap = self._trainer_for(n_raw)
+            batch = pad_collate([keep], capacity=cap)
             for state_j in states:
-                out = self.trainer.eval_step(
+                out = trainer.eval_step(
                     state_j, batch, jax.random.PRNGKey(epoch * 100003 + i)
                 )
                 logits = np.asarray(jax.device_get(out["logits"]))[0]
@@ -77,7 +99,7 @@ class SegmentationVoter:
                 if "out_idx" in out:
                     idx = np.asarray(jax.device_get(out["out_idx"]))[0]
                 else:
-                    idx = np.arange(self.capacity)
+                    idx = np.arange(cap)
                 valid_ids = sample.get("valid_ids")
                 full_n = (
                     self.dataset.get_num_pts(i)
@@ -108,7 +130,7 @@ class SegmentationVoter:
 
         for i, labels in enumerate(full_labels):
             logits = self.accum[i]
-            if logits is None:
+            if logits is None or labels is None:
                 continue
             if smooth and segments is not None:
                 logits = segment_smooth(logits, segments[i])

@@ -15,7 +15,24 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-__all__ = ["SemSegMetrics", "accuracy"]
+__all__ = ["SemSegMetrics", "accuracy", "dataset_class_mask"]
+
+
+def dataset_class_mask(ds, num_classes: int) -> Optional[np.ndarray]:
+    """Metric class mask from a dataset's declared ``mask_classes``.
+
+    ScanNet declares classes excluded from mIoU/mAcc averaging (class 0
+    plus, for scannet200 val/test, the 11 train-only classes — reference
+    ``ScanNet.py:230-237``); datasets without ``mask_classes`` (DFaust,
+    ModelNet) score every class.
+    """
+    mask_classes = getattr(ds, "mask_classes", None)
+    if not mask_classes:
+        return None
+    class_mask = np.ones(num_classes, bool)
+    for c in mask_classes:
+        class_mask[c] = False
+    return class_mask
 
 
 class SemSegMetrics(struct.PyTreeNode):

@@ -35,7 +35,7 @@ from .config import (
     load_augmentations,
     load_yaml_config,
 )
-from .metrics import SemSegMetrics, accuracy
+from .metrics import SemSegMetrics, accuracy, dataset_class_mask
 from .schedule import make_optimizer
 from .trainer import Trainer, TrainSettings
 
@@ -170,6 +170,14 @@ class Experiment:
             )
         return self._frame_trainers[n_frames]
 
+    def make_eval_trainer(self, capacity: int) -> Trainer:
+        """Eval-only trainer at an arbitrary scene capacity (full-scene
+        inference buckets; the parameters are capacity-independent)."""
+        return Trainer(
+            self.model, self.hcfg, self._tx, self._settings, mesh=self.mesh,
+            eval_hierarchy_config=self.eval_hcfg.with_capacity(capacity),
+        )
+
     # ------------------------------------------------------------- batching
     def _batch_capacity(self) -> int:
         if self.dataset_name.startswith("scannet"):
@@ -264,9 +272,11 @@ class Experiment:
     def validate(self, state):
         if self.task == "classification":
             correct, total = 0.0, 0
-            for batch in self._batches(self.val_ds, False):
+            for bi, batch in enumerate(self._batches(self.val_ds, False)):
+                # fresh per-batch key: the reference draws fresh frames /
+                # subsamples every eval batch (VERDICT r2 #9)
                 out = self.trainer.eval_step(
-                    state, self._put(batch), jax.random.PRNGKey(0)
+                    state, self._put(batch), jax.random.PRNGKey(bi)
                 )
                 acc = float(accuracy(out["logits"], out["labels"]))
                 bsz = out["labels"].shape[0]
@@ -275,10 +285,10 @@ class Experiment:
             return {"accuracy": correct / max(total, 1)}
         metrics = SemSegMetrics.empty(self.num_classes)
         self._last_val_cloud = None
-        for batch in self._batches(self.val_ds, False):
+        for bi, batch in enumerate(self._batches(self.val_ds, False)):
             dev_batch = self._put(batch)
             out = self.trainer.eval_step(
-                state, dev_batch, jax.random.PRNGKey(0)
+                state, dev_batch, jax.random.PRNGKey(bi)
             )
             pred = np.argmax(jax.device_get(out["logits"]), -1)
             labels = jax.device_get(out["labels"])
@@ -299,11 +309,9 @@ class Experiment:
                     np.asarray(labels[0])[m0][:n_keep],
                 )
             metrics = metrics.update(pred, labels, mask)
-        class_mask = None
-        if self.dataset_name.startswith("scannet"):
-            class_mask = np.ones(self.num_classes, bool)
-            class_mask[0] = False  # unannotated
-        return metrics.summary(class_mask)
+        return metrics.summary(
+            dataset_class_mask(self.val_ds, self.num_classes)
+        )
 
     # ------------------------------------------------------------------ run
     def run(self, resume: bool = False, max_epochs: Optional[int] = None):

@@ -196,13 +196,16 @@ class Trainer:
             *self._model_args(h, f0, out_pc),
             train=False,
         )
-        loss = self._loss(logits, out_labels, out_pc)
         out = {
-            "loss": loss,
             "logits": logits,
-            "labels": out_labels,
             "mask": out_pc.mask,
         }
+        if out_labels is not None:
+            # Prediction-only mode: a batch without a "labels" key (the
+            # unlabeled ScanNet test split, reference
+            # ``test_scannet_rot.py:396-465``) skips loss/labels.
+            out["loss"] = self._loss(logits, out_labels, out_pc)
+            out["labels"] = out_labels
         if raw_to_out is not None:
             # Index of the raw input point each output point came from —
             # lets voting evaluators scatter logits back to full resolution

@@ -59,30 +59,38 @@ def main():
         )
     states = restore_ensemble(exp, args.checkpoints)
 
-    voter = SegmentationVoter(exp.trainer, exp.val_ds, exp.num_classes, exp.capacity)
+    voter = SegmentationVoter(
+        exp.trainer, exp.val_ds, exp.num_classes, exp.capacity,
+        trainer_factory=exp.make_eval_trainer,
+    )
     for epoch in range(args.vote_epochs):
         voter.run_epoch(states, epoch)
         print(f"vote epoch {epoch + 1}/{args.vote_epochs}", flush=True)
 
     if hasattr(exp.val_ds, "scenes"):
-        full_labels = [s["labels"] for s in exp.val_ds.scenes]
+        full_labels = [s.get("labels") for s in exp.val_ds.scenes]
         segments = (
             [s.get("segments") for s in exp.val_ds.scenes]
             if args.smooth_segments
             else None
         )
     else:
-        full_labels = [exp.val_ds[i]["labels"] for i in range(len(exp.val_ds))]
+        full_labels = [exp.val_ds[i].get("labels") for i in range(len(exp.val_ds))]
         segments = None
-    class_mask = None
-    if exp.dataset_name.startswith("scannet"):
-        class_mask = np.ones(exp.num_classes, bool)
-        class_mask[0] = False
-    summary = voter.metrics(
-        full_labels, segments, class_mask, smooth=args.smooth_segments
-    )
-    print(f"mIoU: {summary['miou']:.4f}  mAcc: {summary['macc']:.4f}  "
-          f"OA: {summary['overall_acc']:.4f}")
+    if any(l is not None for l in full_labels):
+        from se3conv3d_tpu.train.metrics import dataset_class_mask
+
+        class_mask = dataset_class_mask(exp.val_ds, exp.num_classes)
+        summary = voter.metrics(
+            full_labels, segments, class_mask, smooth=args.smooth_segments
+        )
+        print(f"mIoU: {summary['miou']:.4f}  mAcc: {summary['macc']:.4f}  "
+              f"OA: {summary['overall_acc']:.4f}")
+    else:
+        # Prediction-only mode: an unlabeled split (the ScanNet benchmark
+        # test set) yields no metrics, only saved predictions (reference
+        # ``test_scannet_rot.py:396-465`` — its ``args.metrics`` intent).
+        print("no labels in the evaluation split; skipping metrics")
 
     if args.save_output and exp.dataset_name.startswith("scannet"):
         # Per-scene voted predictions in the official benchmark format

@@ -235,3 +235,44 @@ def test_calibration_ema():
     np.testing.assert_allclose(
         float(upd2["calib"]["norm_neigh_dist"]), 1 / 0.5, rtol=1e-5
     )
+
+
+def test_fused_o_chunking_matches_unchunked(monkeypatch):
+    """Wide convs split the O axis into VMEM-sized fused-kernel calls;
+    chunked dispatch must match the one-call result exactly (fwd + grads).
+    The cutoff is monkeypatched tiny so small shapes exercise the split."""
+    import se3conv3d_tpu.nn.conv as conv_mod
+
+    key = jax.random.PRNGKey(30)
+    n, f, ci, co = 16, 2, 4, 6
+    pos = jax.random.normal(key, (1, n, 3))
+    frames = R.random_rotations(jax.random.PRNGKey(31), n * f).reshape(
+        1, n, f, 3, 3
+    )
+    pc = PointCloud(positions=pos, mask=jnp.ones((1, n), bool), frames=frames)
+    nb = NB.knn_neighborhood(pc, pc, k=6)
+    feats = jax.random.normal(jax.random.PRNGKey(32), (1, n, f, ci))
+    conv = PNEConv(
+        in_features=ci, out_features=co, num_basis=8, pne_type="mlp_gelu",
+        equivariant=True, use_fused=True,
+    )
+    variables = _init_conv(conv, pc, pc, feats, nb)
+
+    calib = variables["calib"]
+
+    def loss(params, x):
+        return jnp.sum(
+            conv.apply({"params": params, "calib": calib}, pc, pc, x, nb) ** 2
+        )
+
+    out_1 = conv.apply(variables, pc, pc, feats, nb)
+    g_1 = jax.grad(loss, argnums=(0, 1))(variables["params"], feats)
+
+    # force chunking: cutoff below ci*num_basis*co = 192 elements
+    monkeypatch.setattr(conv_mod, "FUSED_WEIGHT_VMEM_CUTOFF", 8 * ci)
+    out_c = conv.apply(variables, pc, pc, feats, nb)
+    g_c = jax.grad(loss, argnums=(0, 1))(variables["params"], feats)
+
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_1), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_1), jax.tree.leaves(g_c)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -1,0 +1,107 @@
+"""Driver-hook hardening tests (VERDICT r2 #1: both driver artifacts red).
+
+Three contracts:
+  1. ``import __graft_entry__`` (and the whole package) must not dispatch a
+     single device op — the driver imports it in a parent process whose
+     default backend may be a broken remote TPU.
+  2. ``dryrun_multichip(8)`` must go green through the REAL subprocess
+     path, exactly as the driver invokes it.
+  3. ``bench.py``'s watchdog must emit a parseable JSON line even when the
+     backend wedges (simulated) or the harness raises.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(code: str, env_extra=None, timeout=600):
+    env = dict(os.environ)
+    # Simulate the driver's parent environment: no CPU forcing.
+    env.pop("JAX_PLATFORMS", None)
+    env.update(env_extra or {})
+    return subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+def test_import_is_device_free_under_poisoned_backend():
+    # A nonexistent platform makes ANY backend touch raise; import of the
+    # entry module and every package submodule must survive it.
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'fakeplat'); "
+        "import __graft_entry__; "
+        "import se3conv3d_tpu; "
+        "from se3conv3d_tpu.core import frames, grid, rotation, pointcloud, "
+        "neighborhoods, hierarchy, fps; "
+        "from se3conv3d_tpu import models, nn, ops, data, train, parallel, "
+        "utils; "
+        "from se3conv3d_tpu.ops.pallas import fused_equiv; "
+        "print('DEVICE_FREE_OK')"
+    )
+    proc = _run(code, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "DEVICE_FREE_OK" in proc.stdout
+
+
+def test_dryrun_multichip_real_subprocess():
+    # Exactly the driver's call: import in a (potentially TPU-default)
+    # parent, then dryrun_multichip(8) which must self-force a CPU mesh.
+    # The test itself runs under the conftest CPU forcing, but the
+    # subprocess spawned by dryrun_multichip rebuilds its own env.
+    code = (
+        "import __graft_entry__ as g; g.dryrun_multichip(8); "
+        "print('DRYRUN_OK')"
+    )
+    proc = _run(
+        code,
+        env_extra={"JAX_PLATFORMS": "cpu"},  # no real TPU in CI
+        timeout=1800,
+    )
+    assert proc.returncode == 0, (proc.stdout[-1000:], proc.stderr[-2000:])
+    assert "DRYRUN_OK" in proc.stdout
+    assert "dryrun_multichip(8): ok" in proc.stdout
+
+
+def test_bench_emits_json_on_wedged_backend():
+    # Force a zero-second probe deadline: the watchdog thread must print a
+    # diagnostic JSON line and exit 0 before any real work happens.
+    code = (
+        "import time, runpy, sys; sys.argv=['bench.py']; "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        # make the 'backend probe' effectively hang past its deadline
+        "import bench; bench.PROBE_SEC = 0.01; "
+        "jnp_zeros = bench.jnp.zeros; "
+        "bench.jnp.zeros = lambda *a, **k: (time.sleep(30), jnp_zeros(()))[1]; "
+        "bench.main()"
+    )
+    proc = _run(code, env_extra={"JAX_PLATFORMS": "cpu"}, timeout=120)
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    assert lines, (proc.stdout, proc.stderr[-1000:])
+    payload = json.loads(lines[-1])
+    assert payload["metric"] == "equiv_pneconv_fwd_bwd_points_per_sec"
+    assert payload["value"] == 0.0
+    assert "watchdog" in payload.get("error", "")
+
+
+def test_bench_emits_json_on_exception():
+    # Any crash inside main() must still yield a parseable error line with
+    # rc=0 (driver contract: a parsed line beats rc-only silence).
+    # Poisoned backend: bench.py must import fine (device-free imports),
+    # then the probe op raises inside main().
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'fakeplat'); "
+        "import runpy; runpy.run_path('bench.py', run_name='__main__')"
+    )
+    proc = _run(code, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    assert lines, (proc.stdout, proc.stderr[-1000:])
+    payload = json.loads(lines[-1])
+    assert payload["value"] == 0.0
+    assert "error" in payload
