@@ -325,6 +325,20 @@ class ScanNetDataset:
             [float(x) for x in lines[1].rstrip().split(",")[:3]]
         )
 
+        # Per-class frequency stats (reference ``ScanNet.py:256-263``).
+        # Loaded-but-unused there too (no shipped task consumes them);
+        # exposed for class-balanced losses, optional like the reference.
+        stats_file = os.path.join(
+            data_folder,
+            "label_20_stats.txt" if dataset == "scannet20" else "label_200_stats.txt",
+        )
+        self.label_stats = None
+        if os.path.exists(stats_file):
+            with open(stats_file) as f:
+                self.label_stats = np.asarray(
+                    [float(l.rstrip()) for l in f], np.float32
+                )
+
         self.file_list: List[str] = []
         self.scenes: List[dict] = []
         splits = ["train", "val"] if split == "train+val" else [split]

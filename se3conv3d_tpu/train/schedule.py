@@ -22,12 +22,20 @@ def onecycle(
     div_factor: float = 25.0,
     final_div_factor: float = 1e4,
 ) -> optax.Schedule:
-    return optax.cosine_onecycle_schedule(
-        transition_steps=total_steps,
-        peak_value=max_lr,
-        pct_start=pct_start,
-        div_factor=div_factor,
-        final_div_factor=final_div_factor,
+    # optax.cosine_onecycle_schedule floors the warmup boundary to
+    # int(pct_start * total_steps); at small step counts that phase
+    # collapses to zero length and the schedule divides by zero -> NaN LR
+    # poisoning every parameter on the first update.  Build the same
+    # piecewise schedule with the warmup clamped to [1, total-1] steps.
+    total_steps = max(int(total_steps), 2)
+    warm = min(max(int(pct_start * total_steps), 1), total_steps - 1)
+    return optax.piecewise_interpolate_schedule(
+        "cosine",
+        init_value=max_lr / div_factor,
+        boundaries_and_scales={
+            warm: div_factor,
+            total_steps: 1.0 / (div_factor * final_div_factor),
+        },
     )
 
 
