@@ -87,3 +87,47 @@ def inv_fn(seed):
     return c
 
 bench("inverse-table gather R=32", inv_fn)
+
+# 5) production 'sorted' path: permute-gather (bf16) + Pallas blocked
+#    cumsum + boundary diff (ops/pallas/segsum.py); sort tables built
+#    OUTSIDE the scan, as per-neighborhood cache in production
+@jax.jit
+def sorted_pallas_fn(seed):
+    from se3conv3d_tpu.ops.pallas.segsum import sorted_segment_sum
+    key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+    g, idx = make(key, jnp.bfloat16)
+    order = jnp.argsort(idx)
+    ids_sorted = jnp.take(idx, order)
+    targets = jnp.arange(N)
+    rs = jnp.searchsorted(ids_sorted, targets, side="left").astype(jnp.int32)
+    re = jnp.searchsorted(ids_sorted, targets, side="right").astype(jnp.int32)
+    def step(c, _):
+        gp = g * (1 + 1e-12 * c).astype(g.dtype)
+        srt = jnp.take(gp, order, axis=0)
+        out = sorted_segment_sum(srt, rs, re)
+        return c + jnp.sum(out), ()
+    c, _ = jax.lax.scan(step, jnp.zeros(()), None, length=S)
+    return c
+
+bench("sorted pallas cumsum", sorted_pallas_fn)
+
+# 6) same but f32 payload (isolates the bf16-gather saving)
+@jax.jit
+def sorted_pallas_f32_fn(seed):
+    from se3conv3d_tpu.ops.pallas.segsum import sorted_segment_sum
+    key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+    g, idx = make(key, jnp.float32)
+    order = jnp.argsort(idx)
+    ids_sorted = jnp.take(idx, order)
+    targets = jnp.arange(N)
+    rs = jnp.searchsorted(ids_sorted, targets, side="left").astype(jnp.int32)
+    re = jnp.searchsorted(ids_sorted, targets, side="right").astype(jnp.int32)
+    def step(c, _):
+        gp = g * (1 + 1e-12 * c)
+        srt = jnp.take(gp, order, axis=0)
+        out = sorted_segment_sum(srt, rs, re)
+        return c + jnp.sum(out), ()
+    c, _ = jax.lax.scan(step, jnp.zeros(()), None, length=S)
+    return c
+
+bench("sorted pallas cumsum f32", sorted_pallas_f32_fn)

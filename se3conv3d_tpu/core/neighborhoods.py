@@ -76,6 +76,14 @@ class Neighborhood(struct.PyTreeNode):
     # (ops.pne_conv.packed_equiv_geometry): [B, G*(D+1), M*K*F],
     # layer-independent (norm/bias fold into the projection operand).
     equiv_geo_t: Optional[jnp.ndarray] = None
+    # Sorted-edge tables for the conv backward's feature-gradient
+    # reduction (ops.pne_conv.backward_sort_tables), built once per
+    # neighborhood and shared by every layer's backward: per m-chunk, the
+    # permutation sorting edges by source index plus the per-source run
+    # bounds in sorted order.
+    bwd_perm: Optional[jnp.ndarray] = None  # [B, nch, mc*K] int32
+    bwd_run_start: Optional[jnp.ndarray] = None  # [B, nch, N] int32
+    bwd_run_end: Optional[jnp.ndarray] = None  # [B, nch, N] int32
 
     @property
     def k(self) -> int:

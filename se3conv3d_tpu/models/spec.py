@@ -176,7 +176,13 @@ class NeighborhoodProvider:
             geo_t = _ops.packed_equiv_geometry(
                 src_pc, dst_pc, neigh, geo_dt, conv.rel_rot_type
             )
-            return neigh.replace(equiv_geo_t=geo_t)
+            neigh = neigh.replace(equiv_geo_t=geo_t)
+            if _ops.BWD_SCATTER_MODE == "sorted":
+                # sorted-edge tables shared by every layer's backward
+                neigh = _ops.backward_sort_tables(
+                    neigh, src_pc.positions.shape[1]
+                )
+            return neigh
         rel, rot = _ops.equiv_geometry_parts(
             src_pc, dst_pc, neigh, self.spec.conv.rel_rot_type
         )

@@ -283,6 +283,59 @@ def equiv_basis_conv(
     return out.astype(out_dtype) * (norm_num_neighs / f_in)
 
 
+# Feature-gradient reduction mode for the fused conv backward:
+#   'scatter' — zeros.at[idx].add (the XLA scatter; reference semantics
+#       of feat_basis_proj_grads.cu's atomicAdd);
+#   'sorted'  — per-neighborhood sorted-edge tables + one streaming
+#       Pallas cumsum + boundary diff (ops/pallas/segsum.py); same f32
+#       accumulation, ~half the HBM traffic of the f32 scatter at bf16
+#       payloads.  Flip after on-chip measurement
+#       (experiments/chip_scatter_test.py).
+# Overridable via SE3CONV_BWD_MODE for on-chip A/B runs.
+BWD_SCATTER_MODE = __import__("os").environ.get("SE3CONV_BWD_MODE", "scatter")
+
+# Query-axis chunk size of the fused conv's lax.scan (single Pallas calls
+# past ~48k queries fail to compile on this toolchain); shared so cached
+# backward-sort tables match the conv's chunk layout.
+M_CHUNK_DEFAULT = 16384
+
+
+def backward_sort_tables(neigh: Neighborhood, n_src: int,
+                         m_chunk: int = M_CHUNK_DEFAULT) -> Neighborhood:
+    """Attach sorted-edge tables for the 'sorted' backward reduction.
+
+    For each m-chunk (matching :func:`fused_equiv_conv`'s scan layout):
+    the permutation that sorts the chunk's flattened edges by source
+    index, and per-source run bounds in the sorted order.  Built once per
+    neighborhood — every conv layer's backward on it reuses the tables
+    (the backward analogue of the reference's rot-tensor cache).
+    """
+    b, m, kk = neigh.idx.shape
+    mc = min(m, m_chunk)
+    mp = ((m + mc - 1) // mc) * mc
+    nch = mp // mc
+    idx = neigh.idx
+    if mp != m:
+        idx = jnp.pad(idx, ((0, 0), (0, mp - m), (0, 0)))
+    # padded rows scatter zeros; park them at source 0
+    flat = idx.reshape(b, nch, mc * kk)
+
+    def one(ids):
+        perm = jnp.argsort(ids)
+        sorted_ids = jnp.take(ids, perm)
+        targets = jnp.arange(n_src, dtype=sorted_ids.dtype)
+        run_start = jnp.searchsorted(sorted_ids, targets, side="left")
+        run_end = jnp.searchsorted(sorted_ids, targets, side="right")
+        return (
+            perm.astype(jnp.int32),
+            run_start.astype(jnp.int32),
+            run_end.astype(jnp.int32),
+        )
+
+    perm, rs, re = jax.vmap(jax.vmap(one))(flat)
+    return neigh.replace(bwd_perm=perm, bwd_run_start=rs, bwd_run_end=re)
+
+
 @jax.custom_vjp
 def _gather_feats_me(features, idx, mask):
     """Masked neighbor-feature gather -> ``[B, M, K*F, C]``.
@@ -325,6 +378,75 @@ def _gather_feats_me_bwd(res, gout):
 
 
 _gather_feats_me.defvjp(_gather_feats_me_fwd, _gather_feats_me_bwd)
+
+
+@jax.custom_vjp
+def _gather_feats_me_sorted(features, idx, mask, perm, run_start, run_end):
+    """Same gather as :func:`_gather_feats_me`; the backward accumulates
+    ``dfeat`` through the pre-sorted edge tables (one streaming Pallas
+    cumsum + boundary gather) instead of an XLA scatter-add.  f32
+    accumulation either way."""
+    del perm, run_start, run_end
+    return _gather_feats_me.fun(features, idx, mask)
+
+
+def _gather_feats_me_sorted_fwd(features, idx, mask, perm, run_start, run_end):
+    out = _gather_feats_me.fun(features, idx, mask)
+    return out, (idx, mask, perm, run_start, run_end, features.shape)
+
+
+def _gather_feats_me_sorted_bwd(res, gout):
+    from .pallas.segsum import sorted_segment_sum
+
+    idx, mask, perm, run_start, run_end, fshape = res
+    b, n, f, c = fshape
+    m, k = idx.shape[1:]
+    gm = jnp.where(
+        mask[:, :, :, None, None], gout.reshape(b, m, k, f, c), 0.0
+    )
+    flat = gm.reshape(b, m * k, f * c)
+
+    def one(flat_b, perm_b, rs_b, re_b):
+        # gather in the payload dtype (bf16 halves the permute traffic),
+        # accumulate f32 inside the cumsum kernel
+        srt = jnp.take(flat_b, perm_b, axis=0)
+        return sorted_segment_sum(srt, rs_b, re_b)
+
+    dfeat = jax.vmap(one)(flat, perm, run_start, run_end)
+    return (
+        dfeat.reshape(b, n, f, c).astype(gout.dtype),
+        None, None, None, None, None,
+    )
+
+
+_gather_feats_me_sorted.defvjp(
+    _gather_feats_me_sorted_fwd, _gather_feats_me_sorted_bwd
+)
+
+
+def _gather_feats(feats, idx_c, mask_c, sort_c):
+    """Dispatch the masked edge gather by backward mode; ``sort_c`` is the
+    chunk's (perm, run_start, run_end) or None."""
+    if sort_c is not None:
+        return _gather_feats_me_sorted(feats, idx_c, mask_c, *sort_c)
+    return _gather_feats_me(feats, idx_c, mask_c)
+
+
+def _sort_tables_for(neigh: Neighborhood, n_src: int, m: int, m_chunk: int):
+    """(perm, run_start, run_end) each [B, nch, ...] for the 'sorted'
+    backward mode, or None in 'scatter' mode.  Uses the neighborhood's
+    cached tables when their chunk layout matches, else builds them."""
+    if BWD_SCATTER_MODE != "sorted":
+        return None
+    nch = max((m + m_chunk - 1) // m_chunk, 1) if m > m_chunk else 1
+    if (
+        neigh.bwd_perm is not None
+        and neigh.bwd_perm.shape[1] == nch
+        and neigh.bwd_run_start.shape[2] == n_src
+    ):
+        return (neigh.bwd_perm, neigh.bwd_run_start, neigh.bwd_run_end)
+    ns = backward_sort_tables(neigh, n_src, m_chunk)
+    return (ns.bwd_perm, ns.bwd_run_start, ns.bwd_run_end)
 
 
 def _equiv_geo_table(pc_in: PointCloud, f: int) -> jnp.ndarray:
@@ -421,7 +543,7 @@ def fused_equiv_conv(
     act: str = "gelu",
     rel_rot_type: str = "6D",
     tile_m: int = 64,
-    m_chunk: int = 16384,
+    m_chunk: int = M_CHUNK_DEFAULT,
     compute_dtype=None,
 ) -> jnp.ndarray:
     """Rot-equivariant conv through the fused Pallas kernel.
@@ -468,13 +590,14 @@ def fused_equiv_conv(
     table = None
     if cached is None:
         table = _equiv_geo_table(pc_in, f)
+    sort_t = _sort_tables_for(neigh, features.shape[1], m, m_chunk)
 
-    def chunk(ctr_c, fo_c, idx_c, mask_c, geo_c):
+    def chunk(ctr_c, fo_c, idx_c, mask_c, geo_c, sort_c):
         if geo_c is None:
             geo_c = _packed_equiv_geo_chunk(
                 table, ctr_c, fo_c, idx_c, kk, f, g, geo_dt
             )
-        feat_g = _gather_feats_me(feats_x, idx_c, mask_c)
+        feat_g = _gather_feats(feats_x, idx_c, mask_c, sort_c)
         return fused_pne_conv(
             geo_c, feat_g, pa_scaled, proj_biases, conv_weights,
             g_frames=g, act=act, tile_m=tile_m, compute_dtype=cdt_name,
@@ -484,7 +607,8 @@ def fused_equiv_conv(
     fo_full = pc_out.frames
 
     if m <= m_chunk:
-        out = chunk(ctr_full, fo_full, neigh.idx, neigh.mask, cached)
+        sort_0 = None if sort_t is None else tuple(t[:, 0] for t in sort_t)
+        out = chunk(ctr_full, fo_full, neigh.idx, neigh.mask, cached, sort_0)
         return (out * (norm_num_neighs / f)).astype(features.dtype)
 
     mp = ((m + m_chunk - 1) // m_chunk) * m_chunk
@@ -497,6 +621,10 @@ def fused_equiv_conv(
 
     xs = (chunked(ctr_full), chunked(fo_full), chunked(neigh.idx),
           chunked(neigh.mask))
+    sort_xs = (
+        None if sort_t is None
+        else tuple(jnp.swapaxes(t, 0, 1) for t in sort_t)  # [nch, B, ...]
+    )
 
     if cached is not None:
         gd1 = cached.shape[1]
@@ -505,16 +633,21 @@ def fused_equiv_conv(
         geo_p = jnp.moveaxis(geo_p, 2, 0)          # [nch, B, GD1, mc*K*F]
 
         def body_c(_, x):
-            ctr_c, fo_c, idx_c, mask_c, geo_c = x
-            return (), chunk(ctr_c, fo_c, idx_c, mask_c, geo_c)
+            ctr_c, fo_c, idx_c, mask_c, geo_c = x[:5]
+            sort_c = x[5:] if len(x) > 5 else None
+            return (), chunk(ctr_c, fo_c, idx_c, mask_c, geo_c, sort_c)
 
-        _, outs = jax.lax.scan(body_c, (), xs + (geo_p,))
+        scan_xs = xs + (geo_p,) + (sort_xs if sort_xs else ())
+        _, outs = jax.lax.scan(body_c, (), scan_xs)
     else:
 
         def body(_, x):
-            return (), chunk(*x, None)
+            ctr_c, fo_c, idx_c, mask_c = x[:4]
+            sort_c = x[4:] if len(x) > 4 else None
+            return (), chunk(ctr_c, fo_c, idx_c, mask_c, None, sort_c)
 
-        _, outs = jax.lax.scan(body, (), xs)
+        scan_xs = xs + (sort_xs if sort_xs else ())
+        _, outs = jax.lax.scan(body, (), scan_xs)
     out = outs.swapaxes(0, 1).reshape(b, mp, g, -1)[:, :m]
     return (out * (norm_num_neighs / f)).astype(features.dtype)
 
@@ -531,7 +664,7 @@ def fused_conv(
     norm_num_neighs: jnp.ndarray,
     act: str = "gelu",
     tile_m: int = 64,
-    m_chunk: int = 16384,
+    m_chunk: int = M_CHUNK_DEFAULT,
     compute_dtype=None,
 ) -> jnp.ndarray:
     """Standard (non-equivariant, mlp-PNE) conv through the fused kernel.
@@ -549,8 +682,9 @@ def fused_conv(
     feats4 = features[:, :, None, :].astype(geo_dt)  # [B,N,1,C] — F=1
     pa_scaled = proj_axes * norm_dist
     pts_in = pc_in.positions
+    sort_t = _sort_tables_for(neigh, features.shape[1], m, m_chunk)
 
-    def chunk(ctr_c, idx_c, mask_c):
+    def chunk(ctr_c, idx_c, mask_c, sort_c):
         mc = idx_c.shape[1]
         gp = jax.vmap(lambda t, i: t[i])(pts_in, idx_c.reshape(b, mc * kk))
         gp = gp.reshape(b, mc, kk, 3)
@@ -560,7 +694,7 @@ def fused_conv(
             rows.append(r.reshape(b, mc * kk).astype(geo_dt))
         rows.append(jnp.ones((b, mc * kk), geo_dt))
         geo_t = jax.lax.stop_gradient(jnp.stack(rows, axis=1))  # [B, 4, mc*K]
-        feat_g = _gather_feats_me(feats4, idx_c, mask_c)
+        feat_g = _gather_feats(feats4, idx_c, mask_c, sort_c)
         return fused_pne_conv(
             geo_t, feat_g, pa_scaled, proj_biases, conv_weights,
             g_frames=1, act=act, tile_m=tile_m, compute_dtype=cdt_name,
@@ -569,7 +703,8 @@ def fused_conv(
     ctr_full = pc_out.positions
 
     if m <= m_chunk:
-        out = chunk(ctr_full, neigh.idx, neigh.mask)
+        sort_0 = None if sort_t is None else tuple(t[:, 0] for t in sort_t)
+        out = chunk(ctr_full, neigh.idx, neigh.mask, sort_0)
         return (out[:, :, 0, :] * norm_num_neighs).astype(features.dtype)
 
     mp = ((m + m_chunk - 1) // m_chunk) * m_chunk
@@ -581,10 +716,16 @@ def fused_conv(
         return x.reshape(b, nch, m_chunk, *x.shape[2:]).swapaxes(0, 1)
 
     xs = (chunked(ctr_full), chunked(neigh.idx), chunked(neigh.mask))
+    sort_xs = (
+        None if sort_t is None
+        else tuple(jnp.swapaxes(t, 0, 1) for t in sort_t)
+    )
 
     def body(_, x):
-        return (), chunk(*x)
+        ctr_c, idx_c, mask_c = x[:3]
+        sort_c = x[3:] if len(x) > 3 else None
+        return (), chunk(ctr_c, idx_c, mask_c, sort_c)
 
-    _, outs = jax.lax.scan(body, (), xs)
+    _, outs = jax.lax.scan(body, (), xs + (sort_xs if sort_xs else ()))
     out = outs.swapaxes(0, 1).reshape(b, mp, 1, -1)[:, :m]
     return (out[:, :, 0, :] * norm_num_neighs).astype(features.dtype)

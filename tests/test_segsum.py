@@ -1,0 +1,115 @@
+"""Sorted segment-sum backward: kernel correctness + conv-grad parity."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from se3conv3d_tpu.ops.pallas.segsum import blocked_cumsum, sorted_segment_sum
+
+
+def test_blocked_cumsum_matches_numpy():
+    rng = np.random.default_rng(0)
+    for e, c, blk in [(16, 8, 8), (1000, 128, 256), (513, 32, 128)]:
+        x = rng.standard_normal((e, c)).astype(np.float32)
+        out = blocked_cumsum(jnp.asarray(x), block=blk)
+        np.testing.assert_allclose(
+            np.asarray(out), np.cumsum(x, axis=0), rtol=1e-5, atol=1e-4
+        )
+
+
+def test_blocked_cumsum_bf16_payload_f32_accum():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((700, 64)).astype(np.float32)
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    out = blocked_cumsum(xb, block=128)
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(out), np.cumsum(np.asarray(xb, np.float32), axis=0),
+        rtol=1e-4, atol=1e-2,
+    )
+
+
+def test_sorted_segment_sum_matches_scatter_oracle():
+    rng = np.random.default_rng(2)
+    e, c, n = 2048, 64, 300
+    segs = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    data = rng.standard_normal((e, c)).astype(np.float32)
+    rs = np.searchsorted(segs, np.arange(n), side="left").astype(np.int32)
+    re = np.searchsorted(segs, np.arange(n), side="right").astype(np.int32)
+    out = sorted_segment_sum(jnp.asarray(data), jnp.asarray(rs), jnp.asarray(re))
+    oracle = np.zeros((n, c), np.float32)
+    np.add.at(oracle, segs, data)
+    np.testing.assert_allclose(np.asarray(out), oracle, rtol=1e-4, atol=1e-3)
+
+
+def test_backward_sort_tables_layout():
+    from se3conv3d_tpu.core.neighborhoods import Neighborhood
+    from se3conv3d_tpu.ops.pne_conv import backward_sort_tables
+
+    rng = np.random.default_rng(3)
+    b, m, k, n = 2, 40, 4, 32
+    idx = rng.integers(0, n, (b, m, k)).astype(np.int32)
+    neigh = Neighborhood(
+        idx=jnp.asarray(idx),
+        mask=jnp.ones((b, m, k), bool),
+        query_mask=jnp.ones((b, m), bool),
+    )
+    ns = backward_sort_tables(neigh, n, m_chunk=16)  # 40 -> 3 chunks of 16
+    assert ns.bwd_perm.shape == (b, 3, 16 * k)
+    assert ns.bwd_run_start.shape == (b, 3, n)
+    # run bounds partition each chunk's sorted edges
+    perm = np.asarray(ns.bwd_perm)
+    rs, re = np.asarray(ns.bwd_run_start), np.asarray(ns.bwd_run_end)
+    idx_pad = np.pad(idx, ((0, 0), (0, 8), (0, 0)))
+    for bi in range(b):
+        for ci in range(3):
+            flat = idx_pad[bi, ci * 16 : (ci + 1) * 16].reshape(-1)
+            srt = flat[perm[bi, ci]]
+            assert (np.diff(srt) >= 0).all()
+            for ni in range(n):
+                seg = srt[rs[bi, ci, ni] : re[bi, ci, ni]]
+                assert (seg == ni).all()
+                assert (srt == ni).sum() == re[bi, ci, ni] - rs[bi, ci, ni]
+
+
+@pytest.mark.parametrize("m", [48, 200])  # 200 > m_chunk=64 -> scan path
+def test_fused_conv_sorted_backward_matches_scatter(m, monkeypatch):
+    """The 'sorted' backward mode must reproduce the scatter-mode conv
+    gradients (same f32 accumulation, different reduction order)."""
+    import se3conv3d_tpu.ops.pne_conv as pc_ops
+    from se3conv3d_tpu.core import neighborhoods as NB
+    from se3conv3d_tpu.core import rotation as R
+    from se3conv3d_tpu.core.pointcloud import PointCloud
+
+    key = jax.random.PRNGKey(10)
+    f = 2
+    pos = jax.random.normal(key, (1, m, 3))
+    frames = R.random_rotations(jax.random.PRNGKey(11), m * f).reshape(
+        1, m, f, 3, 3
+    )
+    pc = PointCloud(positions=pos, mask=jnp.ones((1, m), bool), frames=frames)
+    nb = NB.knn_neighborhood(pc, pc, k=6)
+    feats = jax.random.normal(jax.random.PRNGKey(12), (1, m, f, 5))
+    pa = jax.random.normal(jax.random.PRNGKey(13), (9, 8)) * 0.3
+    pb = jax.random.normal(jax.random.PRNGKey(14), (8,)) * 0.02
+    w = jax.random.normal(jax.random.PRNGKey(15), (5, 8, 7)) * 0.1
+
+    def loss(x, pa_, pb_, w_):
+        out = pc_ops.fused_equiv_conv(
+            pc, pc, nb, x, pa_, pb_, w_,
+            jnp.asarray(3.0), jnp.asarray(0.2), m_chunk=64,
+        )
+        return jnp.sum(out * out)
+
+    vg = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))
+
+    monkeypatch.setattr(pc_ops, "BWD_SCATTER_MODE", "scatter")
+    v_s, g_s = vg(feats, pa, pb, w)
+    monkeypatch.setattr(pc_ops, "BWD_SCATTER_MODE", "sorted")
+    v_o, g_o = vg(feats, pa, pb, w)
+
+    np.testing.assert_allclose(float(v_s), float(v_o), rtol=1e-5)
+    for a, b_ in zip(g_s, g_o):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4
+        )
