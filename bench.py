@@ -122,6 +122,10 @@ def make_bench(compute_dtype):
             pc, pc, neigh, "bfloat16" if compute_dtype else None
         )
         neigh = neigh.replace(equiv_geo_t=geo_t)
+        if ops.BWD_SCATTER_MODE == "sorted":
+            # per-neighborhood sorted-edge tables, shared by the conv
+            # stack like production (SE3CONV_BWD_MODE=sorted A/B runs)
+            neigh = ops.backward_sort_tables(neigh, N)
         x = feats
         total = jnp.zeros(())
         for _ in range(LAYERS):

@@ -28,13 +28,27 @@ def make_mesh(
     n_devices: Optional[int] = None,
     axis_name: str = "data",
     devices: Optional[Sequence] = None,
+    points: int = 1,
 ) -> Mesh:
-    """A 1-D data-parallel mesh over the first ``n_devices`` devices."""
+    """A device mesh for batch data parallelism, optionally 2-D.
+
+    ``points > 1`` adds a second ``points`` axis sharding the point (N)
+    dimension of every per-point array — the point-cloud analogue of
+    sequence parallelism (SURVEY §5: points are the long-context axis).
+    GSPMD inserts the cross-shard collectives the neighbor search and
+    conv gathers need; use it when single-shard activations at large
+    scene capacities exceed HBM.
+    """
     devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
         if n_devices > len(devs):
             raise ValueError(f"requested {n_devices} devices, have {len(devs)}")
         devs = devs[:n_devices]
+    if points > 1:
+        if len(devs) % points:
+            raise ValueError(f"{len(devs)} devices not divisible by points={points}")
+        arr = np.asarray(devs).reshape(len(devs) // points, points)
+        return Mesh(arr, (axis_name, "points"))
     return Mesh(np.asarray(devs), (axis_name,))
 
 
@@ -48,7 +62,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
-    """Device-put every array of a batch pytree with axis 0 sharded."""
+    """Device-put every array of a batch pytree with axis 0 sharded.
+
+    On a 2-D ``(data, points)`` mesh, per-point arrays (``ndim >= 2``:
+    positions/mask/features/labels ``[B, N, ...]``) additionally shard
+    axis 1 over ``points``; per-example arrays (``[B]``) shard axis 0
+    only.
+    """
+    if "points" in mesh.axis_names:
+        sh2 = NamedSharding(mesh, P(axis_name, "points"))
+        sh1 = NamedSharding(mesh, P(axis_name))
+
+        def put(x):
+            return jax.device_put(x, sh2 if np.ndim(x) >= 2 else sh1)
+
+        return jax.tree_util.tree_map(put, batch)
     sh = batch_sharding(mesh, axis_name)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 

@@ -79,7 +79,12 @@ class Trainer:
         self._jit_kwargs = {}
         if mesh is not None:
             rep = replicated(mesh)
-            sh = batch_sharding(mesh)
+            # 1-D mesh: batch axis 0 sharded explicitly.  2-D (data,
+            # points) mesh: the batch arrives pre-placed by shard_batch
+            # (per-leaf specs) — None lets jit infer from the inputs.
+            sh = (
+                None if "points" in mesh.axis_names else batch_sharding(mesh)
+            )
             self._jit_kwargs = dict(
                 in_shardings=(rep, sh, rep), out_shardings=None
             )

@@ -135,3 +135,37 @@ def test_seg_train_step_on_8_device_mesh():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=2e-3, atol=1e-3
         )
+
+
+def test_seg_train_step_on_2d_data_points_mesh():
+    """(data=4, points=2) mesh: per-point arrays shard on BOTH axes (the
+    sequence-parallel analogue); GSPMD inserts the cross-shard gather
+    collectives.  Must match the single-device step."""
+    model, hcfg, batch = _seg_setup(False, b=4, n=96)
+    tx = make_optimizer(max_lr=1e-3, total_steps=10)
+    settings = TrainSettings(label_smoothing=0.2)
+
+    mesh = make_mesh(8, points=2)
+    assert mesh.axis_names == ("data", "points")
+    trainer_m = Trainer(model, hcfg, tx, settings, mesh=mesh)
+    sharded = shard_batch(mesh, batch)
+    assert "points" in str(sharded["positions"].sharding.spec)
+    state_m = trainer_m.init(jax.random.PRNGKey(7), sharded)
+    state_m = trainer_m.calibration_step(state_m, sharded, jax.random.PRNGKey(8))
+    state_m, metrics_m = trainer_m.train_step(state_m, sharded, jax.random.PRNGKey(9))
+
+    trainer_1 = Trainer(model, hcfg, tx, settings)
+    state_1 = trainer_1.init(jax.random.PRNGKey(7), batch)
+    state_1 = trainer_1.calibration_step(state_1, batch, jax.random.PRNGKey(8))
+    state_1, metrics_1 = trainer_1.train_step(state_1, batch, jax.random.PRNGKey(9))
+
+    np.testing.assert_allclose(
+        float(metrics_m["loss"]), float(metrics_1["loss"]), rtol=1e-4
+    )
+    for (_, a), (_, b_) in zip(
+        jax.tree_util.tree_leaves_with_path(state_m.params),
+        jax.tree_util.tree_leaves_with_path(state_1.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-3, atol=1e-3
+        )
