@@ -449,17 +449,30 @@ def _sort_tables_for(neigh: Neighborhood, n_src: int, m: int, m_chunk: int):
     return (ns.bwd_perm, ns.bwd_run_start, ns.bwd_run_end)
 
 
-def _equiv_geo_table(pc_in: PointCloud, f: int) -> jnp.ndarray:
-    """Combined per-source gather table: positions (f32 — offsets are
-    differences of nearby coordinates, bf16 would lose them) + all F*9
-    sender-frame components.  ONE row-gather per chunk: scalar
-    take_along_axis gathers measure ~25x slower than row gathers on this
-    TPU (experiments/chip_gather_test.py), and a 3-column gather pads to
-    128 lanes anyway, so the 21 columns ride along free."""
+def _equiv_geo_table(pc_in: PointCloud, f: int,
+                     split_bf16: bool = False) -> jnp.ndarray:
+    """Combined per-source gather table: positions + all F*9 sender-frame
+    components.  ONE row-gather per chunk: scalar take_along_axis gathers
+    measure ~25x slower than row gathers on this TPU
+    (experiments/chip_gather_test.py), and a 3-column gather pads to 128
+    lanes anyway, so the extra columns ride along free.
+
+    ``split_bf16`` (the bf16 compute path): the whole table is bf16 —
+    HALF the gather traffic, the hot line of the geometry build — with
+    positions stored as a hi/lo bf16 pair whose f32 reconstruction keeps
+    ~16 mantissa bits (offsets are differences of nearby coordinates;
+    plain bf16 positions would lose them, but hi+lo reconstruction leaves
+    the final bf16 rounding of the computed geometry dominant, identical
+    to the f32-table bf16-geometry path's error)."""
     b = pc_in.positions.shape[0]
-    return jnp.concatenate(
-        [pc_in.positions, pc_in.frames.reshape(b, -1, f * 9)], axis=-1
-    )
+    frames_flat = pc_in.frames.reshape(b, -1, f * 9)
+    if split_bf16:
+        hi = pc_in.positions.astype(jnp.bfloat16)
+        lo = (pc_in.positions - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.concatenate(
+            [hi, lo, frames_flat.astype(jnp.bfloat16)], axis=-1
+        )
+    return jnp.concatenate([pc_in.positions, frames_flat], axis=-1)
 
 
 def _packed_equiv_geo_chunk(table, ctr_c, fo_c, idx_c, kk, f, g, geo_dt):
@@ -474,14 +487,24 @@ def _packed_equiv_geo_chunk(table, ctr_c, fo_c, idx_c, kk, f, g, geo_dt):
     """
     b, mc = idx_c.shape[:2]
     e2 = mc * kk * f
+    split = table.dtype == jnp.bfloat16  # hi/lo split-precision table
+    pos_cols = 6 if split else 3
     gf = jax.vmap(lambda t, i: t[i])(table, idx_c.reshape(b, mc * kk))
-    gf = gf.reshape(b, mc, kk, 3 + f * 9)               # [B,mc,K,21]
+    gf = gf.reshape(b, mc, kk, pos_cols + f * 9)
+
+    def pos_col(c):
+        if split:
+            return gf[..., c].astype(jnp.float32) + gf[..., 3 + c].astype(
+                jnp.float32
+            )
+        return gf[..., c]
+
     rows = []
     for gi in range(g):
         # offset in receiver frame g: sum_c (src_c - ctr_c) * Rg[c, d]
         for dd in range(3):
             r = sum(
-                (gf[..., c] - ctr_c[..., c][:, :, None])
+                (pos_col(c) - ctr_c[..., c][:, :, None])
                 * fo_c[:, :, gi, c, dd][:, :, None]
                 for c in range(3)
             )
@@ -493,7 +516,7 @@ def _packed_equiv_geo_chunk(table, ctr_c, fo_c, idx_c, kk, f, g, geo_dt):
                 per_f = [
                     sum(
                         fo_c[:, :, gi, dd, p][:, :, None]
-                        * gf[..., 3 + fi * 9 + dd * 3 + qq]
+                        * gf[..., pos_cols + fi * 9 + dd * 3 + qq]
                         for dd in range(3)
                     )
                     for fi in range(f)
@@ -524,7 +547,7 @@ def packed_equiv_geometry(
     g = pc_out.frames.shape[2]
     kk = neigh.idx.shape[2]
     geo_dt = jnp.dtype(geo_dt) if geo_dt else pc_in.positions.dtype
-    table = _equiv_geo_table(pc_in, f)
+    table = _equiv_geo_table(pc_in, f, split_bf16=geo_dt == jnp.bfloat16)
     return _packed_equiv_geo_chunk(
         table, pc_out.positions, pc_out.frames, neigh.idx, kk, f, g, geo_dt
     )
@@ -589,7 +612,9 @@ def fused_equiv_conv(
     cached = neigh.equiv_geo_t
     table = None
     if cached is None:
-        table = _equiv_geo_table(pc_in, f)
+        table = _equiv_geo_table(
+            pc_in, f, split_bf16=geo_dt == jnp.bfloat16
+        )
     sort_t = _sort_tables_for(neigh, features.shape[1], m, m_chunk)
 
     def chunk(ctr_c, fo_c, idx_c, mask_c, geo_c, sort_c):

@@ -235,10 +235,16 @@ class Experiment:
         batch = self._put(next(self._batches(self.train_ds, True)))
         return self.trainer.init(jax.random.PRNGKey(0), batch)
 
-    def calibrate(self, state, num_batches: int = 10):
+    def calibrate(self, state, num_batches: Optional[int] = None):
         """The reference's pre-process epoch (``train_dfaust_rot.py:172-218``)
         — EMA calibration of conv normalisation buffers; with the direct-set
-        first step a handful of batches suffices."""
+        first step a handful of batches suffices (buffer drift vs a full
+        epoch is quantified in ``tests/test_calibration_drift.py``).
+        ``Training.calib_batches`` overrides (``'full'`` = whole epoch,
+        matching the reference exactly)."""
+        if num_batches is None:
+            cfg = self.tr.get("calib_batches", 10)
+            num_batches = self.steps_per_epoch if cfg == "full" else int(cfg)
         for i, batch in enumerate(self._batches(self.train_ds, True)):
             if i >= num_batches:
                 break

@@ -1,0 +1,159 @@
+"""Quantify the 10-batch calibration deviation vs the reference's full
+pre-process epoch (VERDICT r2 weak #5).
+
+The calibration protocol direct-sets the buffers on the first step and
+then EMA-updates at 0.9/0.1; with i.i.d. batches the buffers converge
+within a handful of steps, so 10 batches must land within a few percent
+of a full epoch's buffers.  Also covers the ``Training.calib_batches``
+config knob ('full' = exact reference behavior).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from se3conv3d_tpu.core.hierarchy import FrameConfig, HierarchyConfig
+from se3conv3d_tpu.models import FPNSegUNet, get_model_spec
+from se3conv3d_tpu.train import Trainer, TrainSettings, make_optimizer
+
+
+def _setup(b=2, n=128):
+    hcfg = HierarchyConfig(
+        init_cell_size=0.08,
+        cell_sizes=(0.16, 0.32),
+        capacities=(128, 64, 32),
+        out_cell_size=0.1,
+        out_capacity=128,
+        frames=FrameConfig(n_frames=1, neigh_k=8),
+    )
+    spec = dataclasses.replace(
+        get_model_spec("FPNSegUNetMLPGeluRotEqFAUST"),
+        patch_num_levels=1, patch_num_features=(8,),
+        num_blocks=(1, 1), num_features=(8, 16), fpn_dec_feats=8,
+        max_neighbors=8,
+    )
+    model = FPNSegUNet(spec, num_in_feats=3, num_classes=5)
+    trainer = Trainer(
+        model, hcfg, make_optimizer(max_lr=1e-3, total_steps=10),
+        TrainSettings(),
+    )
+
+    def batch(i):
+        kp = jax.random.fold_in(jax.random.PRNGKey(100), i)
+        return {
+            "positions": jax.random.uniform(kp, (b, n, 3)),
+            "mask": jnp.ones((b, n), bool),
+            "features": jnp.ones((b, n, 3)),
+            "labels": jnp.zeros((b, n), jnp.int32),
+        }
+
+    return trainer, batch
+
+
+def _flat_calib(state):
+    leaves = jax.tree_util.tree_leaves_with_path(state.calib)
+    return {
+        jax.tree_util.keystr(k): np.asarray(v)
+        for k, v in leaves
+        if np.issubdtype(np.asarray(v).dtype, np.floating)
+    }
+
+
+def test_ten_batch_calibration_tracks_full_epoch():
+    trainer, batch = _setup()
+    state0 = trainer.init(jax.random.PRNGKey(0), batch(0))
+
+    state_10 = state0
+    for i in range(10):
+        state_10 = trainer.calibration_step(
+            state_10, batch(i), jax.random.PRNGKey(i)
+        )
+    state_full = state0
+    for i in range(40):  # a 'full epoch' of 4x more batches
+        state_full = trainer.calibration_step(
+            state_full, batch(i), jax.random.PRNGKey(i)
+        )
+
+    c10, cf = _flat_calib(state_10), _flat_calib(state_full)
+    assert c10.keys() == cf.keys() and len(c10) > 0
+    worst = 0.0
+    for k in c10:
+        denom = np.maximum(np.abs(cf[k]), 1e-6)
+        rel = np.max(np.abs(c10[k] - cf[k]) / denom)
+        worst = max(worst, float(rel))
+    # i.i.d. batches: the EMA steady state is reached long before 10
+    # steps; a few percent bounds the protocol deviation.
+    assert worst < 0.05, f"calibration drift {worst:.3f} exceeds 5%"
+
+
+def test_calib_batches_config_knob(tmp_path):
+    import torch
+
+    from se3conv3d_tpu.train.run import Experiment
+
+    rng = np.random.default_rng(0)
+    for split, n_models in [("train", 4), ("test", 2)]:
+        d = tmp_path / split
+        d.mkdir()
+        for i in range(n_models):
+            torch.save(
+                torch.from_numpy(rng.standard_normal((96, 3)).astype(np.float32)),
+                d / f"model_{i}_pc.pt",
+            )
+            torch.save(
+                torch.from_numpy(rng.integers(0, 22, 96)),
+                d / f"model_{i}_labels.pt",
+            )
+    yaml = """
+Training:
+    log_folder: '%s'
+    num_epochs: 1
+    batch_size: 2
+    max_lr: 0.005
+    calib_batches: full
+Dataset:
+    dataset: 'dfaust'
+    num_points: 96
+    train_aug_file: 'configs.dfaust.DFaust_DS_Aug'
+    test_aug_file: 'configs.dfaust.DFaust_DS_Aug_Val'
+Model:
+    model: FPNSegUNetMLPGeluRotEqFAUST
+    init_subsample: 0.1
+    output_subsample: 0.12
+    grid_subsamples: [0.2, 0.4]
+    capacities: [96, 48, 24]
+    out_capacity: 96
+    max_neighbors: 8
+    RefFrames:
+        pca: True
+        neigh_method: 'knn'
+        neigh_kwargs: {neigh_k: 8}
+        fixed_axis: False
+        train_n_frames: 1
+        test_n_frames: 1
+""" % (tmp_path / "logs")
+    conf = tmp_path / "conf.yaml"
+    conf.write_text(yaml)
+    exp = Experiment(str(conf), str(tmp_path))
+    # 'full' resolves to the whole epoch's batch count
+    assert exp.tr["calib_batches"] == "full"
+    # shrink the preset to the tiny 3-level hierarchy
+    from se3conv3d_tpu.models import FPNSegUNet
+    from se3conv3d_tpu.train import Trainer
+
+    spec = dataclasses.replace(
+        exp.model.spec, patch_num_levels=1, patch_num_features=(8,),
+        num_blocks=(1, 1), num_features=(8, 16), fpn_dec_feats=8,
+    )
+    exp.model = FPNSegUNet(spec, exp.num_in_feats, exp.num_classes)
+    exp.trainer = Trainer(
+        exp.model, exp.hcfg, exp.trainer.tx, exp.trainer.settings,
+        eval_hierarchy_config=exp.eval_hcfg,
+    )
+    calls = []
+    orig = exp.trainer.calibration_step
+    exp.trainer.calibration_step = lambda s, b, r: calls.append(1) or orig(s, b, r)
+    state = exp.init_state()
+    exp.calibrate(state)
+    assert len(calls) == exp.steps_per_epoch

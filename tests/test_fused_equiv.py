@@ -165,3 +165,45 @@ def test_cached_packed_geometry_path():
         pc, pc, neigh_c, feats, pa, pb, w, nd, nn, tile_m=32, m_chunk=32
     )
     np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref), atol=1e-5)
+
+
+def test_split_bf16_geo_table_reconstruction():
+    """The bf16 compute path's gather table stores positions as a hi/lo
+    bf16 pair (half the gather traffic); the reconstructed offsets must
+    track the f32 table to ~16-bit accuracy even with large absolute
+    coordinates (where plain bf16 positions would destroy offsets)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from se3conv3d_tpu.core import neighborhoods as NB
+    from se3conv3d_tpu.core import rotation as R
+    from se3conv3d_tpu.core.pointcloud import PointCloud
+    from se3conv3d_tpu.ops import pne_conv as ops
+
+    n, f, g = 40, 2, 2
+    key = jax.random.PRNGKey(40)
+    # large offset stresses the hi/lo split: offsets are ~0.1 on top of
+    # coordinates ~50
+    pos = jax.random.normal(key, (1, n, 3)) * 0.05 + 50.0
+    frames = R.random_rotations(jax.random.PRNGKey(41), n * f).reshape(
+        1, n, f, 3, 3
+    )
+    pc = PointCloud(positions=pos, mask=jnp.ones((1, n), bool), frames=frames)
+    nb = NB.knn_neighborhood(pc, pc, k=6)
+
+    geo_f32 = ops.packed_equiv_geometry(pc, pc, nb, None)
+    geo_split = ops.packed_equiv_geometry(pc, pc, nb, "bfloat16")
+    a = np.asarray(geo_f32, np.float32)
+    b = np.asarray(geo_split, np.float32)
+    # hi/lo reconstruction: |err| <~ |coord| * 2^-16 on offsets; rot rows
+    # additionally carry the bf16 rounding of the frame values (~0.4% of
+    # O(1) entries) — the same order as the f32-table bf16-geometry
+    # path's final cast, i.e. the split adds no NEW error class
+    np.testing.assert_allclose(a, b, atol=8e-3)
+    # and a plain bf16-cast table would NOT pass at these coordinates:
+    # bf16(50.x) loses ~0.125 absolute, comparable to the offsets
+    bf16_pos_err = np.abs(
+        np.asarray(pos) - np.asarray(pos).astype(jnp.bfloat16).astype(np.float32)
+    ).max()
+    assert bf16_pos_err > 0.05  # the failure mode the split avoids
