@@ -172,7 +172,15 @@ class NeighborhoodProvider:
         )
         if use_fused and fused_ok:
             # the fused path's cache payload: packed transposed geometry
-            geo_dt = "bfloat16" if conv.compute_dtype else None
+            # only an actual bf16 request selects the bf16 (hi/lo split)
+            # cache table — an explicit float32 compute_dtype must match
+            # the uncached f32 geometry exactly
+            geo_dt = (
+                "bfloat16"
+                if conv.compute_dtype
+                and jax.numpy.dtype(conv.compute_dtype) == jax.numpy.bfloat16
+                else None
+            )
             geo_t = _ops.packed_equiv_geometry(
                 src_pc, dst_pc, neigh, geo_dt, conv.rel_rot_type
             )

@@ -41,13 +41,17 @@ __all__ = [
 
 @dataclass
 class AmassFrames:
-    """Flat per-frame AMASS data (sequences concatenated)."""
+    """Flat per-frame AMASS data (sequences concatenated).
+
+    ``fnames`` has ONE ENTRY PER FRAME (the owning sequence's name
+    repeated), so index i across every field refers to the same frame.
+    """
 
     markers: np.ndarray  # [N, ...] marker positions
     poses: np.ndarray  # [N, P] axis-angle body poses
     trans: np.ndarray  # [N, 3]
     betas: np.ndarray  # [N, 10+] body shapes (repeated per frame)
-    fnames: List[str]
+    fnames: List[str]  # [N] owning-sequence name per frame
 
     def __len__(self) -> int:
         return self.trans.shape[0]
@@ -72,7 +76,7 @@ def load_amass_train(src_data_path: str,
     markers, poses, trans, betas, fnames = [], [], [], [], []
     for seq in data:
         t = _to_numpy(seq["markers"]).shape[0]
-        fnames.append(seq["fname"])
+        fnames.extend([seq["fname"]] * t)  # one entry per frame
         markers.append(_to_numpy(seq["markers"]))
         poses.append(_to_numpy(seq["poses"]))
         trans.append(_to_numpy(seq["trans"]))
@@ -143,7 +147,7 @@ def iter_pose_params(frames: AmassFrames) -> Iterator[dict]:
             "global_orient": pose[:3],
             "body_pose": body_pose,
             "betas": frames.betas[i].reshape(-1)[:10].astype(np.float32),
-            "fname": frames.fnames[i] if i < len(frames.fnames) else None,
+            "fname": frames.fnames[i],
         }
 
 

@@ -9,8 +9,6 @@ import argparse
 import os
 import sys
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from se3conv3d_tpu.train.evaluate import SegmentationVoter  # noqa: E402

@@ -103,7 +103,8 @@ def test_load_amass_train_joblib_archive(tmp_path):
     assert frames.poses.shape == (5, 156)
     # betas repeat per frame within a sequence
     np.testing.assert_array_equal(frames.betas[0], frames.betas[2])
-    assert frames.fnames == ["a", "b"]
+    # one fname entry per FRAME (owning sequence repeated)
+    assert frames.fnames == ["a", "a", "a", "b", "b"]
 
     params = list(iter_pose_params(frames))
     assert len(params) == 5
