@@ -113,3 +113,66 @@ def test_fused_conv_sorted_backward_matches_scatter(m, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4
         )
+
+
+def test_full_model_fused_sorted_train_step(monkeypatch):
+    """Integration: FPNSegUNet with the fused kernel forced on
+    (interpret-mode Pallas on CPU) and the 'sorted' backward — provider
+    geometry + sort-table caching, scan-chunked conv, sorted reduction —
+    must match the scatter-mode step."""
+    import dataclasses
+
+    import se3conv3d_tpu.ops.pne_conv as pc_ops
+    from se3conv3d_tpu.core.hierarchy import FrameConfig, HierarchyConfig
+    from se3conv3d_tpu.models import FPNSegUNet, get_model_spec
+    from se3conv3d_tpu.train import Trainer, TrainSettings, make_optimizer
+
+    hcfg = HierarchyConfig(
+        init_cell_size=0.08,
+        cell_sizes=(0.16, 0.32),
+        capacities=(96, 48, 24),
+        out_cell_size=0.1,
+        out_capacity=96,
+        frames=FrameConfig(n_frames=2, neigh_k=8),
+    )
+    spec = dataclasses.replace(
+        get_model_spec("FPNSegUNetMLPGeluRotEqFAUST"),
+        patch_num_levels=1, patch_num_features=(8,),
+        num_blocks=(1, 1), num_features=(8, 16), fpn_dec_feats=8,
+        max_neighbors=8,
+    )
+    spec = dataclasses.replace(
+        spec, conv=dataclasses.replace(spec.conv, use_fused=True)
+    )
+    model = FPNSegUNet(spec, num_in_feats=3, num_classes=5)
+    batch = {
+        "positions": jax.random.uniform(jax.random.PRNGKey(0), (1, 96, 3)),
+        "mask": jnp.ones((1, 96), bool),
+        "features": jnp.ones((1, 96, 3)),
+        "labels": jax.random.randint(jax.random.PRNGKey(1), (1, 96), 0, 5),
+    }
+
+    def run_one():
+        trainer = Trainer(
+            model, hcfg, make_optimizer(max_lr=1e-3, total_steps=10),
+            TrainSettings(label_smoothing=0.2),
+        )
+        state = trainer.init(jax.random.PRNGKey(2), batch)
+        state = trainer.calibration_step(state, batch, jax.random.PRNGKey(3))
+        state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(4))
+        return state, float(metrics["loss"])
+
+    monkeypatch.setattr(pc_ops, "BWD_SCATTER_MODE", "sorted")
+    state_s, loss_s = run_one()
+    assert np.isfinite(loss_s)
+
+    monkeypatch.setattr(pc_ops, "BWD_SCATTER_MODE", "scatter")
+    state_x, loss_x = run_one()
+    np.testing.assert_allclose(loss_s, loss_x, rtol=1e-5)
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(state_s.params),
+        jax.tree_util.tree_leaves(state_x.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-3, atol=1e-4
+        )
