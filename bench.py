@@ -51,8 +51,11 @@ from se3conv3d_tpu.ops import pne_conv as ops
 # deliverable).  A daemon THREAD, not signal.alarm: a hung tunnel call can
 # block in C without returning to the bytecode loop, so a SIGALRM handler
 # might never run; a thread always can print + _exit.
-WATCHDOG_SEC = float(os.environ.get("BENCH_WATCHDOG_SEC", "420"))
-PROBE_SEC = float(os.environ.get("BENCH_PROBE_SEC", "120"))
+WATCHDOG_SEC = float(os.environ.get("BENCH_WATCHDOG_SEC", "330"))
+PROBE_SEC = float(os.environ.get("BENCH_PROBE_SEC", "110"))
+# Absolute ceiling: the driver wraps bench.py in its own timeout (rc=124
+# with NO output in rounds 1-2); we must always emit before it fires.
+GLOBAL_SEC = float(os.environ.get("BENCH_GLOBAL_SEC", "480"))
 
 # Workload: one trunk-level conv of the DFaust rot-equiv config.
 B = 1
@@ -178,7 +181,9 @@ class _Watchdog:
     def set_stage(self, stage: str, deadline_from_now: float):
         with self.lock:
             self.stage = stage
-            self.deadline = time.monotonic() + deadline_from_now
+            self.deadline = min(
+                time.monotonic() + deadline_from_now, self.t0 + GLOBAL_SEC
+            )
 
     def emit(self, payload: dict, code: int = 0):
         with self.lock:
@@ -244,12 +249,56 @@ def _result_payload(pts_per_sec, sec_per_step, dtype) -> dict:
     }
 
 
+def _subprocess_probe(timeout_s: float) -> bool:
+    """One tiny device op in a child process.  A wedged tunnel hangs the
+    calling THREAD unrecoverably, so retries must happen in children."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp; "
+        "jax.device_get(jnp.ones(()) + 1.0)"
+    )
+    try:
+        return (
+            subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=timeout_s, capture_output=True,
+            ).returncode
+            == 0
+        )
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     dog = _Watchdog()
 
-    # Fail-fast backend probe: one tiny op; a sick tunnel hangs here and
-    # the watchdog reports within PROBE_SEC instead of the driver timeout.
-    dog.set_stage("backend-probe", PROBE_SEC)
+    # Fail-fast backend probes: child-process ops, retried — the chip
+    # flaps (r3: responsive for ~a minute, wedged for tens), so one
+    # failed probe should not forfeit the round's number.
+    dog.set_stage("backend-probe", GLOBAL_SEC)  # children do the timing
+    probe_ok = False
+    for _ in range(3):
+        if _subprocess_probe(PROBE_SEC):
+            probe_ok = True
+            break
+        if time.monotonic() - dog.t0 > GLOBAL_SEC - PROBE_SEC - 60:
+            break
+    if not probe_ok:
+        dog.emit(
+            {
+                "metric": "equiv_pneconv_fwd_bwd_points_per_sec",
+                "value": 0.0,
+                "unit": "points/sec/chip",
+                "vs_baseline": 0.0,
+                "error": "backend probes failed; chip unresponsive",
+            }
+        )
+        return
+
+    # the main process's own first op (still watchdog-guarded: the chip
+    # may wedge between the child probe and here)
+    dog.set_stage("backend-first-op", PROBE_SEC)
     float(jax.device_get(jnp.zeros(()) + 1.0))
 
     # bf16 is the production dtype and the headline number; the f32 sweep

@@ -69,24 +69,43 @@ def test_dryrun_multichip_real_subprocess():
 
 
 def test_bench_emits_json_on_wedged_backend():
-    # Force a zero-second probe deadline: the watchdog thread must print a
-    # diagnostic JSON line and exit 0 before any real work happens.
+    # Child probes succeed (healthy-looking backend), then the main
+    # process's first op wedges: the watchdog thread must print a
+    # diagnostic JSON line and exit 0.
     code = (
-        "import time, runpy, sys; sys.argv=['bench.py']; "
+        "import time, sys; sys.argv=['bench.py']; "
         "import jax; jax.config.update('jax_platforms', 'cpu'); "
-        # make the 'backend probe' effectively hang past its deadline
-        "import bench; bench.PROBE_SEC = 0.01; "
+        # generous probe budget: CI can be CPU-contended and the probe
+        # children each pay a fresh jax import
+        "import bench; bench.PROBE_SEC = 75.0; "
         "jnp_zeros = bench.jnp.zeros; "
-        "bench.jnp.zeros = lambda *a, **k: (time.sleep(30), jnp_zeros(()))[1]; "
+        "bench.jnp.zeros = lambda *a, **k: (time.sleep(600), jnp_zeros(()))[1]; "
         "bench.main()"
     )
-    proc = _run(code, env_extra={"JAX_PLATFORMS": "cpu"}, timeout=120)
+    proc = _run(code, env_extra={"JAX_PLATFORMS": "cpu"}, timeout=400)
     lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
     assert lines, (proc.stdout, proc.stderr[-1000:])
     payload = json.loads(lines[-1])
     assert payload["metric"] == "equiv_pneconv_fwd_bwd_points_per_sec"
     assert payload["value"] == 0.0
     assert "watchdog" in payload.get("error", "")
+
+
+def test_bench_emits_json_when_probes_fail():
+    # All child probes time out (unresponsive chip): an explicit error
+    # line, rc 0, within the probe budget.
+    code = (
+        "import sys; sys.argv=['bench.py']; "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import bench; bench.PROBE_SEC = 0.01; "
+        "bench.main()"
+    )
+    proc = _run(code, env_extra={"JAX_PLATFORMS": "cpu"}, timeout=120)
+    assert proc.returncode == 0, proc.stderr[-1000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    payload = json.loads(lines[-1])
+    assert payload["value"] == 0.0
+    assert "unresponsive" in payload["error"]
 
 
 def test_bench_emits_json_on_exception():
