@@ -3,7 +3,8 @@
 dfeatures[n, fc] = sum over edges (m,k) with idx[m,k]==n of g[m*K+k, fc].
 M=N=65536, K=16, FC=128 — the conv backward's feature-gradient reduction.
 """
-import os, time
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 
 N = 65536
