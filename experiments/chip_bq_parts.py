@@ -26,12 +26,56 @@ def bench(seed):
             h = nh._cell_hash(cell, dims, H)
             order = jnp.argsort(h, stable=True)
             return c + jnp.sum(order[:8]), ()
-        tab = nh._build_cell_table(p, mask, origin, dims, R, H, 32)
+        import os as _os
+        cap = int(_os.environ.get('CAP', '32'))
+        tab = nh._build_cell_table(p, mask, origin, dims, R, H, cap)
         if PART == "build":
             return c + jnp.sum(tab[:4]), ()
-        import os as _os
         ck = int(_os.environ.get('CK', '4096'))
-        idx, ok, d2 = nh._grid_topk_neighbors(p, mask, p, mask, K, R * R, R, 3, H, 32, chunk=ck)
+        if PART in ("rows", "dist", "topk"):
+            # query-side sub-parts: candidate-row gather / + distances /
+            # + top_k (the full query loop minus the final takes)
+            qcell = jnp.floor((p - origin) / R).astype(jnp.int32)
+            r1 = 1
+            offs = jnp.stack(jnp.meshgrid(*([jnp.arange(-r1, r1 + 1)] * 3),
+                                          indexing="ij"), -1).reshape(-1, 3)
+            w3 = offs.shape[0]
+            cells = qcell[:, None, :] + offs[None, :, :]
+            inb = jnp.all((cells >= 0) & (cells < dims[None, None, :]), -1)
+            h = jnp.where(inb, nh._cell_hash(cells, dims, H), H)
+            inf = jnp.asarray(jnp.inf, jnp.float32)
+            neg1 = jax.lax.bitcast_convert_type(
+                jnp.full((), -1, jnp.int32), jnp.float32)
+            sent = jnp.concatenate([
+                jnp.full((1, cap), neg1, jnp.float32),
+                jnp.full((1, 3 * cap), inf, jnp.float32)], 1)
+            tab2 = jnp.concatenate([tab, sent])
+            hc = h.reshape(-1, ck, w3)
+            qc = p.reshape(-1, ck, 3)
+
+            def one(args):
+                hh, q = args
+                rows = tab2[hh].reshape(ck, w3, 4, cap)
+                if PART == "rows":
+                    return jnp.sum(rows, axis=(1, 2, 3)), jnp.zeros((ck,), jnp.int32)
+                cnd = jax.lax.bitcast_convert_type(rows[:, :, 0], jnp.int32)
+                cnd = cnd.reshape(ck, w3 * cap)
+                cx = rows[:, :, 1].reshape(ck, w3 * cap)
+                cy = rows[:, :, 2].reshape(ck, w3 * cap)
+                cz = rows[:, :, 3].reshape(ck, w3 * cap)
+                d2 = ((cx - q[:, 0:1]) ** 2 + (cy - q[:, 1:2]) ** 2
+                      + (cz - q[:, 2:3]) ** 2)
+                d2 = jnp.where(cnd >= 0, d2, inf)
+                d2 = jnp.where(d2 < R * R, d2, inf)
+                if PART == "dist":
+                    return jnp.sum(jnp.where(jnp.isfinite(d2), d2, 0.0), 1), \
+                        jnp.zeros((ck,), jnp.int32)
+                neg, sel = jax.lax.top_k(-d2, K)
+                return jnp.sum(-neg, 1), jnp.sum(sel, 1)
+
+            sums, sels = jax.lax.map(one, (hc, qc))
+            return c + jnp.sum(sums) + jnp.sum(sels), ()
+        idx, ok, d2 = nh._grid_topk_neighbors(p, mask, p, mask, K, R * R, R, 3, H, cap, chunk=ck)
         return c + jnp.sum(idx) + jnp.sum(ok), ()
 
     c, _ = jax.lax.scan(step, jnp.zeros(()), None, length=S)

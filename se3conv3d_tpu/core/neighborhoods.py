@@ -196,21 +196,26 @@ def knn_neighborhood(
                 )
                 cands_i.append(jnp.where(ok, idx, -1))
                 cands_d.append(jnp.where(ok, d2, jnp.inf))
-            # union of the passes: duplicates carry bitwise-equal d2, so
-            # sort by candidate id, kill repeats, then take the k nearest.
+            # union of the passes: sort by candidate id, kill repeats,
+            # then keep the k nearest.  Both passes are variadic payload
+            # sorts (argsort/top_k + take_along_axis pays ~25x-slow
+            # scalar element gathers on this TPU,
+            # experiments/chip_bq_parts.py).
             ci = jnp.concatenate(cands_i, axis=1)          # [m, 3k]
             cd = jnp.concatenate(cands_d, axis=1)
-            order = jnp.argsort(ci, axis=1)
-            ci = jnp.take_along_axis(ci, order, axis=1)
-            cd = jnp.take_along_axis(cd, order, axis=1)
+            ci, cd = jax.lax.sort(
+                (ci, cd), dimension=1, num_keys=1, is_stable=True
+            )
             dup = jnp.concatenate(
                 [jnp.zeros_like(ci[:, :1], bool), ci[:, 1:] == ci[:, :-1]],
                 axis=1,
             )
             cd = jnp.where(dup | (ci < 0), jnp.inf, cd)
-            neg, sel = jax.lax.top_k(-cd, k)
-            idx = jnp.take_along_axis(ci, sel, axis=1)
-            ok = jnp.isfinite(-neg) & qm[:, None]
+            cd, ci = jax.lax.sort(
+                (cd, ci), dimension=1, num_keys=1, is_stable=True
+            )
+            idx = ci[:, :k]
+            ok = jnp.isfinite(cd[:, :k]) & qm[:, None]
             return jnp.where(ok, idx, 0).astype(jnp.int32), ok
 
         idx, mask = jax.vmap(per_example)(
@@ -444,16 +449,25 @@ def _grid_topk_neighbors(
         d2 = jnp.where(cnd >= 0, d2, inf)
         if radius2 is not None:
             d2 = jnp.where(d2 < radius2, d2, inf)
+        # Variadic sort carrying (candidate id, d2) as payload instead of
+        # top_k + take_along_axis: the slot->candidate element gathers
+        # dominated the whole query loop (~135 ms of a 205 ms pass at
+        # 131k — scalar take_along_axis is the known ~25x-slow pattern,
+        # experiments/chip_bq_parts.py), while a payload sort + slice is
+        # pure row work.  Stable ascending sort == top_k tie semantics.
         if rng is not None:
             # reservoir cap mode: uniform k-subset of in-range candidates
             pri = jax.random.uniform(kr, d2.shape, src_pos.dtype)
             score = jnp.where(jnp.isfinite(d2), pri, inf)
-            _, sel = jax.lax.top_k(-score, k)
+            _, idx, d2k = jax.lax.sort(
+                (score, cnd, d2), dimension=1, num_keys=1, is_stable=True
+            )
         else:
-            _, sel = jax.lax.top_k(-d2, k)
-        idx = jnp.take_along_axis(cnd, sel, axis=1)
-        d2k = jnp.take_along_axis(d2, sel, axis=1)
-        return idx, d2k
+            d2s, idx = jax.lax.sort(
+                (d2, cnd), dimension=1, num_keys=1, is_stable=True
+            )
+            d2k = d2s
+        return idx[:, :k], d2k[:, :k]
 
     keys = (
         jax.random.split(rng, n_chunks)
