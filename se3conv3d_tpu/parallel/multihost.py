@@ -1,0 +1,124 @@
+"""Multi-host data loading for data-parallel training.
+
+The reference is single-process/single-GPU (SURVEY §2.6 — no
+``torch.distributed`` anywhere), so this is a new TPU-native component,
+not a port: on a multi-host slice each process sees only its local
+devices, and a global batch must be assembled from per-host shards via
+``jax.make_array_from_process_local_data``.
+
+Design (no cross-host coordination beyond the shared seed):
+
+  * every process runs the SAME seeded sampler and therefore computes
+    the identical global batch list (``MaxPointsBatchSampler`` and the
+    shuffled epoch loops in ``train/run.py`` are ``numpy.default_rng``
+    driven — deterministic given the seed);
+  * each process slices its own examples out of every global batch
+    (:func:`process_slice`, round-robin so point-budget-packed batches
+    split evenly by load);
+  * each process pads its local example count to the globally agreed
+    per-host count (:func:`pad_samples_to`) — all hosts compute the same
+    target from the same global batch — and collates locally;
+  * :func:`global_batch` builds the global sharded ``jax.Array``; with a
+    single process it degrades to :func:`~.mesh.shard_batch` exactly.
+
+Single-process CI can exercise everything except the true multi-host
+assembly (``jax.make_array_from_process_local_data`` with
+``process_count == 1`` is still the real code path and is tested on the
+virtual CPU mesh).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from .mesh import batch_sharding, shard_batch
+
+__all__ = [
+    "process_slice",
+    "local_batch_size",
+    "pad_samples_to",
+    "global_batch",
+]
+
+
+def process_slice(
+    batch_indices: Sequence[int],
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> List[int]:
+    """This host's examples of one global batch (deterministic round-robin).
+
+    Round-robin (``batch[i::count]``) rather than contiguous chunks: the
+    point-budget sampler packs large scenes first, so striding balances
+    points per host instead of giving host 0 all the big scenes.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return list(batch_indices[pi::pc])
+
+
+def local_batch_size(
+    global_batch_size: int, process_count: Optional[int] = None
+) -> int:
+    """Per-host example count every host must supply: ``ceil(B / P)``.
+
+    Every host computes this from the same global batch, so all agree
+    without communicating.
+    """
+    pc = jax.process_count() if process_count is None else process_count
+    return -(-global_batch_size // pc)
+
+
+def _empty_like_sample(sample: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """An all-masked 0-point filler sample shaped like ``sample``.
+
+    ``pad_collate`` gives it an all-False mask row, so it contributes
+    nothing to losses/metrics (mask-correct reductions everywhere).
+    """
+    n = sample["positions"].shape[0]
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sample.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == n:
+            out[k] = np.zeros((0,) + v.shape[1:], v.dtype)
+        else:
+            out[k] = np.zeros_like(np.asarray(v))
+    return out
+
+
+def pad_samples_to(
+    samples: List[Dict[str, np.ndarray]], target: int
+) -> List[Dict[str, np.ndarray]]:
+    """Pad a local sample list to the agreed per-host count with empty
+    (all-masked) samples; no-op when already there."""
+    if len(samples) > target:
+        raise ValueError(
+            f"{len(samples)} local samples exceed the agreed per-host "
+            f"count {target}"
+        )
+    if not samples:
+        raise ValueError("cannot pad an empty local sample list")
+    filler = _empty_like_sample(samples[0])
+    return samples + [filler] * (target - len(samples))
+
+
+def global_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
+    """Assemble per-host padded batches into one globally sharded batch.
+
+    With one process this is exactly ``shard_batch``; with several, each
+    host contributes its local arrays and XLA addresses only the shards
+    it owns.  The global batch axis is ``local_b * process_count``, so
+    callers must have padded with :func:`pad_samples_to` first.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(mesh, batch, axis_name)
+    sharding = batch_sharding(mesh, axis_name)
+
+    def put(x):
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        )
+
+    return jax.tree_util.tree_map(put, batch)

@@ -51,7 +51,19 @@ def masked_segmentation_loss(
 
 
 def classification_loss(
-    logits: jnp.ndarray, labels: jnp.ndarray, label_smoothing: float = 0.0
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_smoothing: float = 0.0,
+    example_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Mean cross entropy over the batch (``[B, C]`` logits)."""
-    return jnp.mean(softmax_cross_entropy(logits, labels, label_smoothing))
+    """Mean cross entropy over the batch (``[B, C]`` logits).
+
+    ``example_mask [B]`` excludes all-masked filler examples (multi-host
+    batch padding, ``parallel/multihost.py``); without it this is a plain
+    batch mean like the reference's ``CrossEntropyLoss``.
+    """
+    ce = softmax_cross_entropy(logits, labels, label_smoothing)
+    if example_mask is None:
+        return jnp.mean(ce)
+    total = jnp.sum(jnp.where(example_mask, ce, 0.0))
+    return total / jnp.maximum(jnp.sum(example_mask), 1).astype(ce.dtype)

@@ -28,6 +28,12 @@ from ..data import (
     pad_collate,
 )
 from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.multihost import (
+    global_batch,
+    local_batch_size,
+    pad_samples_to,
+    process_slice,
+)
 from .checkpoint import CheckpointManager
 from .config import (
     build_model_from_config,
@@ -204,21 +210,41 @@ class Experiment:
                 seed=int(self.rng.integers(1 << 31)),
             )
             for scene_ids in sampler:
-                samples = [dataset[i] for i in scene_ids]
+                # Multi-host: the seeded sampler yields the SAME global
+                # batch on every process; each loads only its stride.
+                # Mix3D then merges within the local slice — statistically
+                # equivalent to the reference's global merge, without
+                # shipping scenes across hosts.
+                local_ids = process_slice(scene_ids)
+                target_b = local_batch_size(len(scene_ids))
+                samples = [dataset[i] for i in local_ids]
                 samples = mix3d_merge(samples)
                 keep = ("positions", "features", "labels", "scene_id")
                 samples = [
                     {k: v for k, v in s.items() if k in keep} for s in samples
                 ]
-                yield pad_collate(samples, capacity=self.capacity)
+                # mix3d merging shrinks the local count; all hosts must
+                # supply the same example count for the global assembly,
+                # so pad with all-masked fillers (loss/metrics ignore
+                # them).  Single-process: target == len(scene_ids) only
+                # when mix3d merged nothing, so recompute locally there.
+                if jax.process_count() == 1:
+                    target_b = len(samples)
+                yield pad_collate(
+                    pad_samples_to(samples, max(target_b, len(samples))),
+                    capacity=self.capacity,
+                )
         else:
             bs = int(self.tr["batch_size"])
             order = self.rng.permutation(len(dataset)) if train else np.arange(
                 len(dataset)
             )
             for i in range(0, len(order) - bs + 1 if train else len(order), bs):
-                idx = order[i : i + bs]
+                idx = process_slice(order[i : i + bs])
                 samples = [dataset[j] for j in idx]
+                samples = pad_samples_to(
+                    samples, local_batch_size(min(bs, len(order) - i))
+                )
                 batch = pad_collate(samples, capacity=self.capacity)
                 if "label" in batch and "labels" not in batch:
                     # classification: per-example scalar labels
@@ -227,7 +253,9 @@ class Experiment:
 
     def _put(self, batch):
         if self.mesh is not None:
-            return shard_batch(self.mesh, batch)
+            # single-process: exactly shard_batch; multi-host: assembles
+            # the per-process shards into one global jax.Array
+            return global_batch(self.mesh, batch)
         return batch
 
     # --------------------------------------------------------------- phases

@@ -154,7 +154,10 @@ class Trainer:
                 self.settings.ignore_label,
             )
         return classification_loss(
-            logits, out_labels, self.settings.label_smoothing
+            logits, out_labels, self.settings.label_smoothing,
+            # all-masked filler examples (multi-host batch padding) carry
+            # no points; keep them out of the batch mean
+            example_mask=jnp.any(out_pc.mask, axis=1),
         )
 
     # ----------------------------------------------------------------- steps
