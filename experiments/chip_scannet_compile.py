@@ -19,9 +19,13 @@ CDT = os.environ.get("CDT") or None
 N = int(os.environ.get("N", "131072"))
 
 spec = get_model_spec("FPNSegUNetMLPGeluRotEqScanNet")
+REMAT = os.environ.get("REMAT", "1") != "0"
 spec = dataclasses.replace(
     spec,
-    conv=dataclasses.replace(spec.conv, compute_dtype=CDT),
+    conv=dataclasses.replace(spec.conv, compute_dtype=CDT, remat=REMAT),
+    conv_blocks=dataclasses.replace(
+        spec.conv_blocks, compute_dtype=CDT, remat=REMAT
+    ),
 )
 caps = tuple(max(N // d, 64) for d in (1, 4, 16, 64, 256))
 hcfg = HierarchyConfig(

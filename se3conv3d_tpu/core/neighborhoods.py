@@ -266,7 +266,15 @@ def ball_query_neighborhood(
     if cap_mode == "reservoir" and rng is None:
         raise ValueError("cap_mode='reservoir' requires an rng key")
     use_rng = rng if cap_mode == "reservoir" else None
-    if src.capacity >= GRID_AUTO_THRESHOLD:
+    # Grid beats brute force when EITHER side is large: brute cost is
+    # src x query (full distance rows + top_k over all sources per
+    # query), grid cost is ~8 candidate-row gathers per query plus one
+    # sort of the sources.  The FPN/decoder neighborhoods (a few-k-point
+    # deep level into 131k queries) hit the query-side condition.
+    if (
+        src.capacity >= GRID_AUTO_THRESHOLD
+        or query.capacity >= GRID_AUTO_THRESHOLD
+    ):
         # cell_cap bounds per-cell candidates: at surface densities with
         # radius ~ 2x spacing, occupancy is ~4-9/cell, so 16 loses
         # nothing and halves the candidate gather volume (276 -> 175 ms
@@ -481,6 +489,103 @@ def _grid_topk_neighbors(
     return jnp.where(ok, idx, 0).astype(jnp.int32), ok, d2
 
 
+def _grid_topk_neighbors_w2(
+    src_pos, src_mask, query_pos, query_mask, k, radius2,
+    coverage, table_size, cell_cap, chunk: int = 4096,
+    rng=None,
+):
+    """2x2x2-window variant: cell size ``2 * coverage``.
+
+    The interval ``[q - coverage, q + coverage]`` spans at most two cells
+    of size ``2 * coverage`` per dimension, so EIGHT candidate-row
+    gathers per query replace the 27 of the 3^3 layout.  Row gathers are
+    LATENCY-bound per row, not per byte (CLAUDE.md platform notes), so
+    fewer, fatter rows win: measured 148 -> 55 ms for the 131k ball
+    query (experiments/chip_bq_parts.py 'w2').  Exactness argument
+    unchanged — every point within ``coverage`` of a query lies in its
+    2^3 window; only cell-capacity overflow can drop true neighbors, and
+    ``cell_cap`` here is per ``2*coverage``-cell (callers scale it by
+    the cell-area ratio).
+    """
+    m = query_pos.shape[0]
+    s = 2.0 * coverage
+    big = jnp.asarray(jnp.finfo(src_pos.dtype).max, src_pos.dtype)
+    origin = (
+        jnp.min(jnp.where(src_mask[:, None], src_pos, big), axis=0) - 1e-6
+    )
+    top = jnp.max(jnp.where(src_mask[:, None], src_pos, -big), axis=0) + 1e-6
+    dims = jnp.maximum(((top - origin) / s).astype(jnp.int32) + 1, 1)
+    table = _build_cell_table(
+        src_pos, src_mask, origin, dims, s, table_size, cell_cap
+    )
+
+    lo = jnp.floor((query_pos - coverage - origin) / s).astype(jnp.int32)
+    offsets = jnp.stack(
+        jnp.meshgrid(*([jnp.arange(2)] * 3), indexing="ij"), -1
+    ).reshape(-1, 3)
+    w3 = offsets.shape[0]  # 8
+    cells = lo[:, None, :] + offsets[None, :, :]
+    in_bounds = jnp.all((cells >= 0) & (cells < dims[None, None, :]), axis=-1)
+    h = _cell_hash(cells, dims, table_size)
+    h = jnp.where(in_bounds, h, table_size)
+    inf = jnp.asarray(jnp.inf, jnp.float32)
+    neg1_bits = jax.lax.bitcast_convert_type(
+        jnp.full((), -1, jnp.int32), jnp.float32
+    )
+    sent = jnp.concatenate([
+        jnp.full((1, cell_cap), neg1_bits, jnp.float32),
+        jnp.full((1, 3 * cell_cap), inf, jnp.float32),
+    ], axis=1)
+    table = jnp.concatenate([table, sent])
+
+    pad = (-m) % chunk
+    h_p = jnp.pad(h, ((0, pad), (0, 0)), constant_values=table_size)
+    q_p = jnp.pad(query_pos, ((0, pad), (0, 0)))
+    n_chunks = (m + pad) // chunk
+    h_c = h_p.reshape(n_chunks, chunk, w3)
+    q_c = q_p.reshape(n_chunks, chunk, 3)
+
+    def one_chunk(args):
+        hh, q, kr = args
+        rows = table[hh].reshape(chunk, w3, 4, cell_cap)
+        cnd = jax.lax.bitcast_convert_type(
+            rows[:, :, 0], jnp.int32
+        ).reshape(chunk, w3 * cell_cap)
+        cx = rows[:, :, 1].reshape(chunk, w3 * cell_cap)
+        cy = rows[:, :, 2].reshape(chunk, w3 * cell_cap)
+        cz = rows[:, :, 3].reshape(chunk, w3 * cell_cap)
+        d2 = (
+            (cx - q[:, 0:1]) ** 2
+            + (cy - q[:, 1:2]) ** 2
+            + (cz - q[:, 2:3]) ** 2
+        )
+        d2 = jnp.where(cnd >= 0, d2, inf)
+        if radius2 is not None:
+            d2 = jnp.where(d2 < radius2, d2, inf)
+        if rng is not None:
+            pri = jax.random.uniform(kr, d2.shape, src_pos.dtype)
+            score = jnp.where(jnp.isfinite(d2), pri, inf)
+            _, idx, d2k = jax.lax.sort(
+                (score, cnd, d2), dimension=1, num_keys=1, is_stable=True
+            )
+        else:
+            d2k, idx = jax.lax.sort(
+                (d2, cnd), dimension=1, num_keys=1, is_stable=True
+            )
+        return idx[:, :k], d2k[:, :k]
+
+    keys = (
+        jax.random.split(rng, n_chunks)
+        if rng is not None
+        else jnp.zeros((n_chunks, 2), jnp.uint32)
+    )
+    idx, d2 = jax.lax.map(one_chunk, (h_c, q_c, keys))
+    idx = idx.reshape(-1, k)[:m]
+    d2 = d2.reshape(-1, k)[:m]
+    ok = jnp.isfinite(d2) & query_mask[:, None]
+    return jnp.where(ok, idx, 0).astype(jnp.int32), ok, d2
+
+
 def cell_overflow_fraction(
     pc: PointCloud, cell_size: float, cell_cap: int = 32,
     table_size: Optional[int] = None,
@@ -526,10 +631,14 @@ def grid_ball_query_neighborhood(
     table_size: Optional[int] = None,
     rng=None,
 ) -> Neighborhood:
-    """Ball query via a spatial hash grid with cell size = radius.
+    """Ball query via a spatial hash grid (2x2x2 window, cell = 2r).
 
-    Exact for ball query up to cell-capacity overflow: every point within
-    ``radius`` of a query lies in the 3x3x3 cell window.
+    Exact up to cell-capacity overflow: every point within ``radius`` of
+    a query lies in its position-dependent 2^3 window of ``2 * radius``
+    cells.  ``cell_cap`` is quoted per RADIUS-sized cell (the historical
+    3^3 layout) and scaled x4 internally for the 4x cell footprint of
+    surface data — check :func:`cell_overflow_fraction` at ``2 * radius``
+    with the scaled cap for unusually dense (volumetric) data.
     """
     n = src.capacity
     h_size = table_size or max(1 << (n - 1).bit_length(), 1024)
@@ -541,8 +650,8 @@ def grid_ball_query_neighborhood(
     )
 
     def per_example(sp, sm, qp, qm, kr):
-        idx, ok, _ = _grid_topk_neighbors(
-            sp, sm, qp, qm, k, r2, float(radius), 3, h_size, cell_cap,
+        idx, ok, _ = _grid_topk_neighbors_w2(
+            sp, sm, qp, qm, k, r2, float(radius), h_size, 4 * cell_cap,
             rng=kr if rng is not None else None,
         )
         return idx, ok
