@@ -33,6 +33,6 @@ for name, fn in [("eval", lambda b, k: trainer.eval_step(state, b, k)),
         t0 = time.perf_counter()
         out = fn(b, jax.random.PRNGKey(seed * 7 + i))
         leaf = jax.tree_util.tree_leaves(out)[0]
-        float(jax.device_get(jnp.sum(leaf[..., :1].astype(jnp.float32))))
+        float(jax.device_get(jnp.sum(leaf.astype(jnp.float32))))
         times.append(time.perf_counter() - t0)
     print(f"{name}: {['%.2f' % t for t in times]} s", flush=True)

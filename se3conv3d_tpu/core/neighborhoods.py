@@ -188,6 +188,13 @@ def knn_neighborhood(
         h_size = max(1 << (n - 1).bit_length(), 1024)
 
         def per_example(sp, sm, qp, qm):
+            # NOTE: the 2x2x2 'w2' layout (used by ball query) was
+            # measured 2x faster per pass (chip_bq_parts 'knnw2') but
+            # REGRESSES recall here: the coarse backfill passes need
+            # cell caps proportional to the 27x cell volume, and
+            # volume-scaled caps make rows too fat (405 ms at cap 288).
+            # Ball query can use it because its radius ~ 2x spacing
+            # bounds occupancy by construction; kNN keeps 3^3 windows.
             cands_i, cands_d = [], []
             for scale in (1.0, 3.0, 9.0):
                 idx, ok, d2 = _grid_topk_neighbors(

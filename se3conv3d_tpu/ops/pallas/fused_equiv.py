@@ -407,7 +407,7 @@ def fused_pne_conv(
     conv_weights: jnp.ndarray,
     g_frames: int,
     act: str = "gelu",
-    tile_m: int = 64,
+    tile_m: int = 256,
     compute_dtype: Optional[str] = None,
 ) -> jnp.ndarray:
     """Fused PNE conv over a batch (standard or rot-equivariant).

@@ -565,7 +565,7 @@ def fused_equiv_conv(
     norm_num_neighs: jnp.ndarray,
     act: str = "gelu",
     rel_rot_type: str = "6D",
-    tile_m: int = 64,
+    tile_m: int = 256,
     m_chunk: int = M_CHUNK_DEFAULT,
     compute_dtype=None,
 ) -> jnp.ndarray:
@@ -688,7 +688,7 @@ def fused_conv(
     norm_dist: jnp.ndarray,
     norm_num_neighs: jnp.ndarray,
     act: str = "gelu",
-    tile_m: int = 64,
+    tile_m: int = 256,
     m_chunk: int = M_CHUNK_DEFAULT,
     compute_dtype=None,
 ) -> jnp.ndarray:
