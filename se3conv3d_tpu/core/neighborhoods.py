@@ -31,6 +31,7 @@ from .pointcloud import PointCloud
 
 __all__ = [
     "Neighborhood",
+    "grid_knn_cell_size",
     "knn_neighborhood",
     "ball_query_neighborhood",
     "grid_ball_query_neighborhood",
@@ -38,6 +39,22 @@ __all__ = [
 ]
 
 _CHUNK = 1024
+
+# Fine-pass cell factor of the grid kNN: cell = factor * spacing hint
+# (scaled by k^(1/3) past k=16).  The 3^3 window then guarantees
+# coverage of [factor, 1.5*factor] x spacing — past the ~2.26 x spacing
+# k-th-neighbor radius of surface-sampled data, so typical rows are
+# provably exact after the fine pass alone and skip the coarse backfill
+# (see knn_neighborhood).  Cell caps must be sized at THIS cell size:
+# use grid_knn_cell_size with cell_overflow_fraction.
+KNN_CELL_FACTOR = 2.45
+
+
+def grid_knn_cell_size(spacing: float, k: int) -> float:
+    """The hash-cell size the grid kNN fine pass actually uses for a
+    given spacing hint — size ``cell_cap`` against
+    :func:`cell_overflow_fraction` evaluated at this cell."""
+    return KNN_CELL_FACTOR * float(spacing) * (max(k, 16) / 16.0) ** (1.0 / 3.0)
 
 # Source-cloud size above which the public entry points auto-dispatch to the
 # grid-bucketed search (brute force sorts the full distance row per query:
@@ -159,6 +176,7 @@ def knn_neighborhood(
     chunk: int = _CHUNK,
     grid_cell_size: Optional[float] = None,
     cell_cap: int = 32,
+    table_size: Optional[int] = None,
 ) -> Neighborhood:
     """k-nearest-neighbors from ``src`` for each ``query`` point.
 
@@ -174,59 +192,174 @@ def knn_neighborhood(
     (tests/test_grid_recall.py quantifies both regimes).
     """
     if grid_cell_size is not None and src.capacity >= GRID_AUTO_THRESHOLD:
-        # 3x3x3 window at cell = 2.1 x spacing covers +-3.15 x spacing
-        # (measured recall 0.99997 for k=16 at ScanNet density, 4.4x faster
-        # than a 5x5x5 window with the same coverage); coverage scales with
-        # k^(1/3) for larger k.  Where the local spacing exceeds the hint
+        # 3x3x3 window at cell = KNN_CELL_FACTOR x spacing: worst-case
+        # guaranteed coverage (query at a cell corner) is one full cell
+        # = 2.45 x spacing > the ~2.26 x spacing k=16 surface kNN
+        # radius, so typical surface rows are provably exact after this
+        # single pass (round 2 used 2.1, which left ~25% of rows
+        # unproven and forced the coarse passes to run for everyone).
+        # Static shapes are cell-size independent; the cost of the
+        # bigger cell is higher per-cell occupancy, which cell_cap must
+        # cover AT THIS CELL SIZE (grid_knn_cell_size +
+        # cell_overflow_fraction are the sizing diagnostic).  Where the local spacing exceeds the hint
         # (sparse regions — scan boundaries, isolated returns) the fine
         # window under-fills; passes at 3x and 9x the cell backfill those
         # rows (coverage up to +-28 x spacing), approaching the
         # reference's unbounded exact kNN.  Rows an earlier pass fills
         # completely keep its (exact-within-window) result.
-        cell = 2.1 * float(grid_cell_size) * (max(k, 16) / 16.0) ** (1.0 / 3.0)
+        cell = grid_knn_cell_size(grid_cell_size, k)
         n = src.capacity
-        h_size = max(1 << (n - 1).bit_length(), 1024)
+        # Hash collisions only ADD distance-filtered candidates, so a
+        # smaller table trades memory for candidate volume (useful with
+        # large cell_cap: table bytes = table_size * 16 * cell_cap).
+        h_size = table_size or max(1 << (n - 1).bit_length(), 1024)
 
-        def per_example(sp, sm, qp, qm):
-            # NOTE: the 2x2x2 'w2' layout (used by ball query) was
-            # measured 2x faster per pass (chip_bq_parts 'knnw2') but
-            # REGRESSES recall here: the coarse backfill passes need
-            # cell caps proportional to the 27x cell volume, and
-            # volume-scaled caps make rows too fat (405 ms at cap 288).
-            # Ball query can use it because its radius ~ 2x spacing
-            # bounds occupancy by construction; kNN keeps 3^3 windows.
-            cands_i, cands_d = [], []
-            for scale in (1.0, 3.0, 9.0):
-                idx, ok, d2 = _grid_topk_neighbors(
-                    sp, sm, qp, qm, k, None, scale * cell, 3, h_size,
-                    cell_cap,
-                )
-                cands_i.append(jnp.where(ok, idx, -1))
-                cands_d.append(jnp.where(ok, d2, jnp.inf))
+        # NOTE: the 2x2x2 'w2' layout (used by ball query) was
+        # measured 2x faster per pass (chip_bq_parts 'knnw2') but
+        # REGRESSES recall here: the coarse backfill passes need
+        # cell caps proportional to the 27x cell volume, and
+        # volume-scaled caps make rows too fat (405 ms at cap 288).
+        # Ball query can use it because its radius ~ 2x spacing
+        # bounds occupancy by construction; kNN keeps 3^3 windows.
+        m = query.positions.shape[1]
+        cap_b = min(m, max(4096, m // 4))
+
+        def fine_pass(sp, sm, qp, qm):
+            idx1, ok1, d21 = _grid_topk_neighbors(
+                sp, sm, qp, qm, k, None, cell, 3, h_size, cell_cap
+            )
+            # Provably exact rows: found k candidates AND the k-th
+            # distance fits inside the guaranteed coverage of the 3^3
+            # window (distance from the query to the nearest window
+            # face, counting faces clipped at the data AABB as open —
+            # no source points lie beyond them).
+            big = jnp.asarray(jnp.finfo(sp.dtype).max, sp.dtype)
+            origin = (
+                jnp.min(jnp.where(sm[:, None], sp, big), axis=0) - 1e-6
+            )
+            top = jnp.max(jnp.where(sm[:, None], sp, -big), axis=0) + 1e-6
+            dims = jnp.maximum(
+                ((top - origin) / cell).astype(jnp.int32) + 1, 1
+            )
+            qcell = jnp.floor((qp - origin) / cell).astype(jnp.int32)
+            inf = jnp.asarray(jnp.inf, sp.dtype)
+            cov_lo = jnp.where(
+                qcell - 1 >= 0, qp - (origin + (qcell - 1) * cell), inf
+            )
+            cov_hi = jnp.where(
+                qcell + 1 <= dims[None, :] - 1,
+                origin + (qcell + 2) * cell - qp,
+                inf,
+            )
+            cov = jnp.min(jnp.minimum(cov_lo, cov_hi), axis=-1)  # [m]
+            cnt = jnp.sum(ok1, axis=1)
+            exact = (cnt >= k) & (d21[:, -1] <= cov * cov)
+            # priority: 0 = needs backfill, 2 = provably exact,
+            # 3 = invalid query.
+            pri = jnp.where(exact, 2, 0)
+            pri = jnp.where(qm, pri, 3).astype(jnp.int32)
+            return idx1, ok1, d21, pri
+
+        idx1, ok1, d21, pri = jax.vmap(fine_pass)(
+            src.positions, src.mask, query.positions, query.mask
+        )
+
+        def union_topk(cands_i, cands_d, qmask):
             # union of the passes: sort by candidate id, kill repeats,
-            # then keep the k nearest.  Both passes are variadic payload
-            # sorts (argsort/top_k + take_along_axis pays ~25x-slow
-            # scalar element gathers on this TPU,
+            # then keep the k nearest.  Both passes are variadic
+            # payload sorts (argsort/top_k + take_along_axis pays
+            # ~25x-slow scalar element gathers on this TPU,
             # experiments/chip_bq_parts.py).
-            ci = jnp.concatenate(cands_i, axis=1)          # [m, 3k]
+            ci = jnp.concatenate(cands_i, axis=1)          # [., 3k]
             cd = jnp.concatenate(cands_d, axis=1)
             ci, cd = jax.lax.sort(
                 (ci, cd), dimension=1, num_keys=1, is_stable=True
             )
             dup = jnp.concatenate(
-                [jnp.zeros_like(ci[:, :1], bool), ci[:, 1:] == ci[:, :-1]],
+                [jnp.zeros_like(ci[:, :1], bool),
+                 ci[:, 1:] == ci[:, :-1]],
                 axis=1,
             )
             cd = jnp.where(dup | (ci < 0), jnp.inf, cd)
             cd, ci = jax.lax.sort(
                 (cd, ci), dimension=1, num_keys=1, is_stable=True
             )
-            idx = ci[:, :k]
-            ok = jnp.isfinite(cd[:, :k]) & qm[:, None]
-            return jnp.where(ok, idx, 0).astype(jnp.int32), ok
+            ok = jnp.isfinite(cd[:, :k]) & qmask[:, None]
+            return jnp.where(ok, ci[:, :k], 0).astype(jnp.int32), ok
 
-        idx, mask = jax.vmap(per_example)(
-            src.positions, src.mask, query.positions, query.mask
+        def coarse(sp, sm, qpos, qmask):
+            out_i, out_d = [], []
+            for scale in (3.0, 9.0):
+                idx, ok, d2 = _grid_topk_neighbors(
+                    sp, sm, qpos, qmask, k, None, scale * cell, 3,
+                    h_size, cell_cap,
+                )
+                out_i.append(jnp.where(ok, idx, -1))
+                out_d.append(jnp.where(ok, d2, jnp.inf))
+            return out_i, out_d
+
+        # The fine pass alone is near-exact at scan density (recall
+        # 0.99997 measured); the 3x/9x backfill passes only matter for
+        # rows it provably did NOT answer exactly.  Run them on a
+        # COMPACTED static buffer of those rows instead of all m
+        # queries — at 131k the two coarse passes were ~2/3 of the kNN
+        # cost for a few % of the rows.  When any example's flagged
+        # set exceeds the buffer (spacing hint far off the true
+        # density — e.g. a sparse cloud with a fine hint), fall back
+        # to coarse passes over ALL queries (the round-2 behavior), so
+        # recall never depends on the hint being right.  The dispatch
+        # is one lax.cond OUTSIDE the per-example vmap: vmapping a
+        # cond would lower it to a select that executes BOTH branches.
+        def backfill_subset(args):
+            i1, o1, d1, pr, sp_b, sm_b, qp_b, qm_b = args
+
+            def per_ex(i1e, o1e, d1e, pre, sp, sm, qp, qm):
+                pri_s, qid_s = jax.lax.sort(
+                    (pre, jnp.arange(m, dtype=jnp.int32)),
+                    dimension=0, num_keys=1, is_stable=True,
+                )
+                qid_b = qid_s[:cap_b]
+                run_b = pri_s[:cap_b] == 0
+                ci, cd = coarse(sp, sm, qp[qid_b], qm[qid_b] & run_b)
+                idx_u, ok_u = union_topk(
+                    [jnp.where(o1e[qid_b], i1e[qid_b], -1)] + ci,
+                    [jnp.where(o1e[qid_b], d1e[qid_b], jnp.inf)] + cd,
+                    qm[qid_b],
+                )
+                # Masked-out buffer rows (exact / invalid) round-trip
+                # unchanged: their union is the fine-pass candidate
+                # set re-sorted by distance — the fine-pass row.
+                return (
+                    i1e.at[qid_b].set(idx_u).astype(jnp.int32),
+                    o1e.at[qid_b].set(ok_u),
+                )
+
+            return jax.vmap(per_ex)(
+                i1, o1, d1, pr, sp_b, sm_b, qp_b, qm_b
+            )
+
+        def backfill_all(args):
+            i1, o1, d1, pr, sp_b, sm_b, qp_b, qm_b = args
+
+            def per_ex(i1e, o1e, d1e, sp, sm, qp, qm):
+                ci, cd = coarse(sp, sm, qp, qm)
+                return union_topk(
+                    [jnp.where(o1e, i1e, -1)] + ci,
+                    [jnp.where(o1e, d1e, jnp.inf)] + cd,
+                    qm,
+                )
+
+            return jax.vmap(per_ex)(
+                i1, o1, d1, sp_b, sm_b, qp_b, qm_b
+            )
+
+        n_flagged = jnp.max(jnp.sum(pri == 0, axis=1))
+        idx, mask = jax.lax.cond(
+            n_flagged <= cap_b,
+            backfill_subset,
+            backfill_all,
+            (idx1, ok1, d21, pri, src.positions, src.mask,
+             query.positions, query.mask),
         )
         return Neighborhood(
             idx=idx, mask=mask, query_mask=query.mask, method="knn"

@@ -19,6 +19,7 @@ import pytest
 from se3conv3d_tpu.core.neighborhoods import (
     ball_query_neighborhood,
     cell_overflow_fraction,
+    grid_knn_cell_size,
     knn_neighborhood,
 )
 from se3conv3d_tpu.core.pointcloud import PointCloud
@@ -55,7 +56,7 @@ def _blob_scene(rng):
     room = rng.uniform(0, 1, (34000, 3)) * [6.0, 3.0, 6.0]
     blobs = [
         rng.uniform(0.5, 1, (3,)) * [5.0, 2.0, 5.0]
-        + rng.standard_normal((4000, 3)) * 0.1
+        + rng.standard_normal((4000, 3)) * 0.15
         for _ in range(3)
     ]
     return np.concatenate([room] + blobs).astype(np.float32)
@@ -75,8 +76,11 @@ def test_grid_knn_recall_realistic_surfaces():
     assert len(scene) >= 32768, "scene must engage the grid path"
     pc = PointCloud(positions=jnp.asarray(scene)[None],
                     mask=jnp.ones((1, len(scene)), bool))
-    # no adversarial density: the default cap must not overflow
-    assert float(cell_overflow_fraction(pc, 2.1 * SPACING)[0]) == 0.0
+    # no adversarial density: the default cap must not overflow at the
+    # cell size the kNN fine pass actually uses
+    assert float(
+        cell_overflow_fraction(pc, grid_knn_cell_size(SPACING, K))[0]
+    ) == 0.0
     neigh = knn_neighborhood(pc, pc, K, grid_cell_size=SPACING)
     assert np.asarray(neigh.mask[0]).all()
     qs = rng.choice(len(scene), 1200, replace=False)
@@ -99,13 +103,17 @@ def test_grid_knn_recall_dense_blobs_needs_larger_cap():
     scene = _blob_scene(rng)
     pc = PointCloud(positions=jnp.asarray(scene)[None],
                     mask=jnp.ones((1, len(scene)), bool))
-    # diagnostic flags the overflow at the default cap...
-    frac = float(cell_overflow_fraction(pc, 2.1 * SPACING, cell_cap=32)[0])
+    # diagnostic flags the overflow at the default cap (evaluated at
+    # the cell size the kNN fine pass actually uses)...
+    cell = grid_knn_cell_size(SPACING, K)
+    frac = float(cell_overflow_fraction(pc, cell, cell_cap=32)[0])
     assert frac > 0.02, f"blob scene should overflow cap=32 (frac={frac})"
     # ...and a cap sized past the max occupancy restores recall.
-    assert float(cell_overflow_fraction(pc, 2.1 * SPACING, cell_cap=256)[0]) == 0.0
+    assert float(cell_overflow_fraction(pc, cell, cell_cap=256)[0]) == 0.0
+    # small hash table keeps the 256-slot rows affordable (collisions
+    # only add distance-filtered candidates)
     neigh = knn_neighborhood(
-        pc, pc, K, grid_cell_size=SPACING, cell_cap=256
+        pc, pc, K, grid_cell_size=SPACING, cell_cap=256, table_size=8192
     )
     qs = np.concatenate([
         rng.choice(34000, 400, replace=False),
