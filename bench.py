@@ -277,8 +277,14 @@ def _subprocess_probe(timeout_s: float) -> bool:
     calling THREAD unrecoverably, so retries must happen in children."""
     import subprocess
 
+    # sitecustomize pre-imports jax, so the JAX_PLATFORMS env var alone
+    # does not stick in children — apply it explicitly.  Production runs
+    # leave it unset (real platform); tests force 'cpu' to stay hermetic
+    # when the real chip is wedged.
     code = (
-        "import jax, jax.numpy as jnp; "
+        "import os, jax; p = os.environ.get('JAX_PLATFORMS'); "
+        "p and jax.config.update('jax_platforms', p); "
+        "import jax.numpy as jnp; "
         "jax.device_get(jnp.ones(()) + 1.0)"
     )
     try:

@@ -117,7 +117,11 @@ def test_bench_emits_json_on_exception():
         "import jax; jax.config.update('jax_platforms', 'fakeplat'); "
         "import runpy; runpy.run_path('bench.py', run_name='__main__')"
     )
-    proc = _run(code, timeout=300)
+    # JAX_PLATFORMS steers only the probe CHILDREN (bench._subprocess_probe
+    # applies it explicitly); the parent stays on the poisoned platform.
+    # Without it the children would touch the real chip — a wedged tunnel
+    # would fail this test for environmental reasons.
+    proc = _run(code, env_extra={"JAX_PLATFORMS": "cpu"}, timeout=300)
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
     assert lines, (proc.stdout, proc.stderr[-1000:])
