@@ -125,13 +125,13 @@ def bench(seed):
             sp = 8.0 / (N ** (1.0 / 3.0)) * 2.0  # ~2x mean spacing hint
             cell = 2.1 * sp
             if PART == "knn3":
-                idx, ok, d2 = nh._grid_topk_neighbors(
+                idx, ok, d2, _ = nh._grid_topk_neighbors(
                     p, mask, p, mask, 16, None, cell, 3, H, cap, chunk=ck)
             else:
                 idx, ok, d2 = nh._grid_topk_neighbors_w2(
                     p, mask, p, mask, 16, None, 1.5 * cell, H, cap, chunk=ck)
             return c + jnp.sum(idx) + jnp.sum(ok), ()
-        idx, ok, d2 = nh._grid_topk_neighbors(p, mask, p, mask, K, R * R, R, 3, H, cap, chunk=ck)
+        idx, ok, d2, _ = nh._grid_topk_neighbors(p, mask, p, mask, K, R * R, R, 3, H, cap, chunk=ck)
         return c + jnp.sum(idx) + jnp.sum(ok), ()
 
     c, _ = jax.lax.scan(step, jnp.zeros(()), None, length=S)

@@ -224,46 +224,6 @@ def knn_neighborhood(
         m = query.positions.shape[1]
         cap_b = min(m, max(4096, m // 4))
 
-        def fine_pass(sp, sm, qp, qm):
-            idx1, ok1, d21 = _grid_topk_neighbors(
-                sp, sm, qp, qm, k, None, cell, 3, h_size, cell_cap
-            )
-            # Provably exact rows: found k candidates AND the k-th
-            # distance fits inside the guaranteed coverage of the 3^3
-            # window (distance from the query to the nearest window
-            # face, counting faces clipped at the data AABB as open —
-            # no source points lie beyond them).
-            big = jnp.asarray(jnp.finfo(sp.dtype).max, sp.dtype)
-            origin = (
-                jnp.min(jnp.where(sm[:, None], sp, big), axis=0) - 1e-6
-            )
-            top = jnp.max(jnp.where(sm[:, None], sp, -big), axis=0) + 1e-6
-            dims = jnp.maximum(
-                ((top - origin) / cell).astype(jnp.int32) + 1, 1
-            )
-            qcell = jnp.floor((qp - origin) / cell).astype(jnp.int32)
-            inf = jnp.asarray(jnp.inf, sp.dtype)
-            cov_lo = jnp.where(
-                qcell - 1 >= 0, qp - (origin + (qcell - 1) * cell), inf
-            )
-            cov_hi = jnp.where(
-                qcell + 1 <= dims[None, :] - 1,
-                origin + (qcell + 2) * cell - qp,
-                inf,
-            )
-            cov = jnp.min(jnp.minimum(cov_lo, cov_hi), axis=-1)  # [m]
-            cnt = jnp.sum(ok1, axis=1)
-            exact = (cnt >= k) & (d21[:, -1] <= cov * cov)
-            # priority: 0 = needs backfill, 2 = provably exact,
-            # 3 = invalid query.
-            pri = jnp.where(exact, 2, 0)
-            pri = jnp.where(qm, pri, 3).astype(jnp.int32)
-            return idx1, ok1, d21, pri
-
-        idx1, ok1, d21, pri = jax.vmap(fine_pass)(
-            src.positions, src.mask, query.positions, query.mask
-        )
-
         def union_topk(cands_i, cands_d, qmask):
             # union of the passes: sort by candidate id, kill repeats,
             # then keep the k nearest.  Both passes are variadic
@@ -285,12 +245,62 @@ def knn_neighborhood(
                 (cd, ci), dimension=1, num_keys=1, is_stable=True
             )
             ok = jnp.isfinite(cd[:, :k]) & qmask[:, None]
-            return jnp.where(ok, ci[:, :k], 0).astype(jnp.int32), ok
+            return (
+                jnp.where(ok, ci[:, :k], 0).astype(jnp.int32),
+                ok,
+                cd[:, :k],
+            )
+
+        def fine_pass(sp, sm, qp, qm):
+            idx1, ok1, d21, at_cap = _grid_topk_neighbors(
+                sp, sm, qp, qm, k, None, cell, 3, h_size, cell_cap
+            )
+            # In-window hash collisions (possible only when an in-window
+            # linear-id difference is ≡ 0 mod the table size) duplicate a
+            # cell's candidates; the certificate below must count UNIQUE
+            # sources, so dedup through the same union sort the backfill
+            # uses.  The final result is dedup'd either way.
+            idx1, ok1, d21 = union_topk(
+                [jnp.where(ok1, idx1, -1)],
+                [jnp.where(ok1, d21, jnp.inf)],
+                qm,
+            )
+            # Provably exact rows: k unique candidates found, the k-th
+            # distance fits inside the guaranteed coverage of the 3^3
+            # window (distance from the query to the nearest window
+            # face, counting faces clipped at the data AABB as open —
+            # no source points lie beyond them), AND no window cell was
+            # at the build capacity (an at-cap cell may have dropped a
+            # nearer point, so those rows go to the coarse backfill,
+            # whose larger cells re-sample the region).
+            origin, dims = _grid_geometry(sp, sm, cell)
+            qcell = jnp.floor((qp - origin) / cell).astype(jnp.int32)
+            inf = jnp.asarray(jnp.inf, sp.dtype)
+            cov_lo = jnp.where(
+                qcell - 1 >= 0, qp - (origin + (qcell - 1) * cell), inf
+            )
+            cov_hi = jnp.where(
+                qcell + 1 <= dims[None, :] - 1,
+                origin + (qcell + 2) * cell - qp,
+                inf,
+            )
+            cov = jnp.min(jnp.minimum(cov_lo, cov_hi), axis=-1)  # [m]
+            cnt = jnp.sum(ok1, axis=1)
+            exact = (cnt >= k) & (d21[:, -1] <= cov * cov) & ~at_cap
+            # priority: 0 = needs backfill, 2 = provably exact,
+            # 3 = invalid query.
+            pri = jnp.where(exact, 2, 0)
+            pri = jnp.where(qm, pri, 3).astype(jnp.int32)
+            return idx1, ok1, d21, pri
+
+        idx1, ok1, d21, pri = jax.vmap(fine_pass)(
+            src.positions, src.mask, query.positions, query.mask
+        )
 
         def coarse(sp, sm, qpos, qmask):
             out_i, out_d = [], []
             for scale in (3.0, 9.0):
-                idx, ok, d2 = _grid_topk_neighbors(
+                idx, ok, d2, _ = _grid_topk_neighbors(
                     sp, sm, qpos, qmask, k, None, scale * cell, 3,
                     h_size, cell_cap,
                 )
@@ -321,7 +331,7 @@ def knn_neighborhood(
                 qid_b = qid_s[:cap_b]
                 run_b = pri_s[:cap_b] == 0
                 ci, cd = coarse(sp, sm, qp[qid_b], qm[qid_b] & run_b)
-                idx_u, ok_u = union_topk(
+                idx_u, ok_u, _ = union_topk(
                     [jnp.where(o1e[qid_b], i1e[qid_b], -1)] + ci,
                     [jnp.where(o1e[qid_b], d1e[qid_b], jnp.inf)] + cd,
                     qm[qid_b],
@@ -343,11 +353,12 @@ def knn_neighborhood(
 
             def per_ex(i1e, o1e, d1e, sp, sm, qp, qm):
                 ci, cd = coarse(sp, sm, qp, qm)
-                return union_topk(
+                idx_u, ok_u, _ = union_topk(
                     [jnp.where(o1e, i1e, -1)] + ci,
                     [jnp.where(o1e, d1e, jnp.inf)] + cd,
                     qm,
                 )
+                return idx_u, ok_u
 
             return jax.vmap(per_ex)(
                 i1, o1, d1, sp_b, sm_b, qp_b, qm_b
@@ -460,6 +471,20 @@ def ball_query_neighborhood(
 # (filtered by distance); only cell-capacity overflow can drop a true
 # neighbor, so C defaults generously.
 
+def _grid_geometry(pos, mask, cell_size):
+    """AABB origin and integer grid dims of the masked cloud.
+
+    The ONE place the grid's cell boundaries are defined: the table
+    build, the query windows, the overflow diagnostic and the kNN
+    exactness certificate must all agree bitwise on ``floor((p - origin)
+    / cell_size)``, so they all call this."""
+    big = jnp.asarray(jnp.finfo(pos.dtype).max, pos.dtype)
+    origin = jnp.min(jnp.where(mask[:, None], pos, big), axis=0) - 1e-6
+    top = jnp.max(jnp.where(mask[:, None], pos, -big), axis=0) + 1e-6
+    dims = jnp.maximum(((top - origin) / cell_size).astype(jnp.int32) + 1, 1)
+    return origin, dims
+
+
 def _cell_hash(cell: jnp.ndarray, dims: jnp.ndarray, table_size: int) -> jnp.ndarray:
     """Linearised-cell-id hash of int cell coords [..., 3].
 
@@ -535,12 +560,7 @@ def _grid_topk_neighbors(
     rng=None,
 ):
     m = query_pos.shape[0]
-    big = jnp.asarray(jnp.finfo(src_pos.dtype).max, src_pos.dtype)
-    origin = (
-        jnp.min(jnp.where(src_mask[:, None], src_pos, big), axis=0) - 1e-6
-    )
-    top = jnp.max(jnp.where(src_mask[:, None], src_pos, -big), axis=0) + 1e-6
-    dims = jnp.maximum(((top - origin) / cell_size).astype(jnp.int32) + 1, 1)
+    origin, dims = _grid_geometry(src_pos, src_mask, cell_size)
     table = _build_cell_table(
         src_pos, src_mask, origin, dims, cell_size, table_size, cell_cap
     )
@@ -583,9 +603,15 @@ def _grid_topk_neighbors(
     def one_chunk(args):
         hh, q, kr = args
         rows = table[hh].reshape(chunk, w3, 4, cell_cap)
-        cnd = jax.lax.bitcast_convert_type(
-            rows[:, :, 0], jnp.int32
-        ).reshape(chunk, w3 * cell_cap)
+        cnd3 = jax.lax.bitcast_convert_type(rows[:, :, 0], jnp.int32)
+        # Per-query overflow sentinel: a window cell with all cell_cap
+        # slots occupied MAY have dropped points at the build cap — the
+        # only way this search can miss a true neighbor.  (Sentinel /
+        # out-of-grid rows are empty, so they never read as full.)
+        at_cap = jnp.any(
+            jnp.sum(cnd3 >= 0, axis=2) == cell_cap, axis=1
+        )  # [chunk]
+        cnd = cnd3.reshape(chunk, w3 * cell_cap)
         cx = rows[:, :, 1].reshape(chunk, w3 * cell_cap)
         cy = rows[:, :, 2].reshape(chunk, w3 * cell_cap)
         cz = rows[:, :, 3].reshape(chunk, w3 * cell_cap)
@@ -615,18 +641,19 @@ def _grid_topk_neighbors(
                 (d2, cnd), dimension=1, num_keys=1, is_stable=True
             )
             d2k = d2s
-        return idx[:, :k], d2k[:, :k]
+        return idx[:, :k], d2k[:, :k], at_cap
 
     keys = (
         jax.random.split(rng, n_chunks)
         if rng is not None
         else jnp.zeros((n_chunks, 2), jnp.uint32)
     )
-    idx, d2 = jax.lax.map(one_chunk, (h_c, q_c, keys))
+    idx, d2, at_cap = jax.lax.map(one_chunk, (h_c, q_c, keys))
     idx = idx.reshape(-1, k)[:m]
     d2 = d2.reshape(-1, k)[:m]
+    at_cap = at_cap.reshape(-1)[:m]
     ok = jnp.isfinite(d2) & query_mask[:, None]
-    return jnp.where(ok, idx, 0).astype(jnp.int32), ok, d2
+    return jnp.where(ok, idx, 0).astype(jnp.int32), ok, d2, at_cap
 
 
 def _grid_topk_neighbors_w2(
@@ -649,12 +676,7 @@ def _grid_topk_neighbors_w2(
     """
     m = query_pos.shape[0]
     s = 2.0 * coverage
-    big = jnp.asarray(jnp.finfo(src_pos.dtype).max, src_pos.dtype)
-    origin = (
-        jnp.min(jnp.where(src_mask[:, None], src_pos, big), axis=0) - 1e-6
-    )
-    top = jnp.max(jnp.where(src_mask[:, None], src_pos, -big), axis=0) + 1e-6
-    dims = jnp.maximum(((top - origin) / s).astype(jnp.int32) + 1, 1)
+    origin, dims = _grid_geometry(src_pos, src_mask, s)
     table = _build_cell_table(
         src_pos, src_mask, origin, dims, s, table_size, cell_cap
     )
@@ -742,10 +764,7 @@ def cell_overflow_fraction(
     h_size = table_size or max(1 << (n - 1).bit_length(), 1024)
 
     def per_example(pos, mask):
-        big = jnp.asarray(jnp.finfo(pos.dtype).max, pos.dtype)
-        origin = jnp.min(jnp.where(mask[:, None], pos, big), axis=0) - 1e-6
-        top = jnp.max(jnp.where(mask[:, None], pos, -big), axis=0) + 1e-6
-        dims = jnp.maximum(((top - origin) / cell_size).astype(jnp.int32) + 1, 1)
+        origin, dims = _grid_geometry(pos, mask, cell_size)
         cell = jnp.floor((pos - origin) / cell_size).astype(jnp.int32)
         h = jnp.where(mask, _cell_hash(cell, dims, h_size), h_size)
         order = jnp.argsort(h, stable=True)
@@ -827,7 +846,7 @@ def grid_knn_neighborhood(
     h_size = table_size or max(1 << (n - 1).bit_length(), 1024)
 
     def per_example(sp, sm, qp, qm):
-        idx, ok, _ = _grid_topk_neighbors(
+        idx, ok, _, _ = _grid_topk_neighbors(
             sp, sm, qp, qm, k, None, float(cell_size), window, h_size, cell_cap
         )
         return idx, ok

@@ -41,7 +41,28 @@ __all__ = [
     "local_batch_size",
     "pad_samples_to",
     "global_batch",
+    "host_local",
 ]
+
+
+def host_local(arr) -> np.ndarray:
+    """Process-local numpy view of a (possibly multi-host-global) array.
+
+    Fully-addressable arrays (single process, or replicated) round-trip
+    through ``device_get``.  Multi-host batch-sharded arrays cannot be
+    fetched whole (``device_get`` raises on non-addressable shards); this
+    returns only THIS process's examples — its addressable shards
+    concatenated in batch-index order.  Because :func:`process_slice`
+    partitions every global batch across hosts, each host evaluating its
+    local view covers the full set exactly once in union; per-host metric
+    summaries are over the local slice (cross-host metric reduction is
+    the caller's concern, and single-host runs are unaffected)."""
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        shards = sorted(
+            arr.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(jax.device_get(arr))
 
 
 def process_slice(

@@ -30,6 +30,7 @@ from ..data import (
 from ..parallel.mesh import make_mesh, shard_batch
 from ..parallel.multihost import (
     global_batch,
+    host_local,
     local_batch_size,
     pad_samples_to,
     process_slice,
@@ -41,7 +42,7 @@ from .config import (
     load_augmentations,
     load_yaml_config,
 )
-from .metrics import SemSegMetrics, accuracy, dataset_class_mask
+from .metrics import SemSegMetrics, dataset_class_mask
 from .schedule import make_optimizer
 from .trainer import Trainer, TrainSettings
 
@@ -312,10 +313,14 @@ class Experiment:
                 out = self.trainer.eval_step(
                     state, self._put(batch), jax.random.PRNGKey(bi)
                 )
-                acc = float(accuracy(out["logits"], out["labels"]))
-                bsz = out["labels"].shape[0]
-                correct += acc * bsz
-                total += bsz
+                logits = host_local(out["logits"])
+                labels = host_local(out["labels"])
+                # all-masked filler examples (multi-host per-host padding,
+                # pad_samples_to) must not count toward accuracy
+                valid = host_local(out["mask"]).any(axis=1)
+                pred = np.argmax(logits, -1)
+                correct += float(((pred == labels) & valid).sum())
+                total += int(valid.sum())
             return {"accuracy": correct / max(total, 1)}
         metrics = SemSegMetrics.empty(self.num_classes)
         self._last_val_cloud = None
@@ -324,16 +329,16 @@ class Experiment:
             out = self.trainer.eval_step(
                 state, dev_batch, jax.random.PRNGKey(bi)
             )
-            pred = np.argmax(jax.device_get(out["logits"]), -1)
-            labels = jax.device_get(out["labels"])
-            mask = jax.device_get(out["mask"])
+            pred = np.argmax(host_local(out["logits"]), -1)
+            labels = host_local(out["labels"])
+            mask = host_local(out["mask"])
             if self._last_val_cloud is None:
                 # first example of the first batch, for 3D wandb panels
                 # (reference train_dfaust_rot.py:340-366)
-                pos = np.asarray(jax.device_get(dev_batch["positions"]))[0]
+                pos = host_local(dev_batch["positions"])[0]
                 if "out_idx" in out:
                     # logits live on the subsampled output cloud
-                    oi = np.asarray(jax.device_get(out["out_idx"]))[0]
+                    oi = host_local(out["out_idx"])[0]
                     pos = pos[np.clip(oi, 0, len(pos) - 1)]
                 m0 = np.asarray(mask[0], bool)
                 n_keep = min(int(m0.sum()), pred.shape[1])

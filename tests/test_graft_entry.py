@@ -108,6 +108,29 @@ def test_bench_emits_json_when_probes_fail():
     assert "unresponsive" in payload["error"]
 
 
+def test_bench_crash_after_mini_reports_best_measurement():
+    # A flapping chip that dies AFTER the mini fallback workload landed
+    # must not forfeit the number: the crash handler reports the best
+    # completed measurement with a note, exactly one JSON line, rc 0.
+    code = (
+        "import sys; sys.argv=['bench.py']; "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import bench, jax.numpy as jnp; "
+        "bench.make_bench = (lambda dtype, n=bench.N, s=bench.S: "
+        "(lambda seed: jnp.zeros(())) if n == bench.N_MINI "
+        "else (_ for _ in ()).throw(RuntimeError('chip wedged mid-bench'))); "
+        "bench.run_main()"
+    )
+    proc = _run(code, env_extra={"JAX_PLATFORMS": "cpu"}, timeout=400)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1, proc.stdout
+    payload = json.loads(lines[0])
+    assert payload["value"] > 0.0, payload
+    assert "exception after best" in payload.get("note", ""), payload
+    assert "chip wedged mid-bench" in payload["note"], payload
+
+
 def test_bench_emits_json_on_exception():
     # Any crash inside main() must still yield a parseable error line with
     # rc=0 (driver contract: a parsed line beats rc-only silence).
