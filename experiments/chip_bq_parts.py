@@ -128,7 +128,7 @@ def bench(seed):
                 idx, ok, d2, _ = nh._grid_topk_neighbors(
                     p, mask, p, mask, 16, None, cell, 3, H, cap, chunk=ck)
             else:
-                idx, ok, d2 = nh._grid_topk_neighbors_w2(
+                idx, ok, d2, _ = nh._grid_topk_neighbors_w2(
                     p, mask, p, mask, 16, None, 1.5 * cell, H, cap, chunk=ck)
             return c + jnp.sum(idx) + jnp.sum(ok), ()
         idx, ok, d2, _ = nh._grid_topk_neighbors(p, mask, p, mask, K, R * R, R, 3, H, cap, chunk=ck)

@@ -554,28 +554,33 @@ def _build_cell_table(pos, mask, origin, dims, cell_size, table_size, cell_cap):
     return tab.reshape(table_size, 4 * cell_cap)
 
 
-def _grid_topk_neighbors(
+def _grid_query(
     src_pos, src_mask, query_pos, query_mask, k, radius2,
-    cell_size, window, table_size, cell_cap, chunk: int = 4096,
-    rng=None,
+    cell_size, make_cells, table_size, cell_cap, chunk=4096, rng=None,
 ):
+    """Shared grid-query body of the two window layouts below.
+
+    Builds ONE packed hash table of the sources at ``cell_size``, asks
+    ``make_cells(query_pos, origin, dims) -> [M, W, 3]`` for each query's
+    candidate cells, then per query chunk: gather the W cell ROWS, filter
+    by distance (and ``radius2`` if given), and keep k by a variadic
+    payload sort (see inline notes).  Returns ``(idx, ok, d2, at_cap)``
+    with ``at_cap[m]`` true when any in-bounds candidate cell of query m
+    had ALL ``cell_cap`` slots occupied — the only condition under which
+    the build cap can have dropped a true neighbor.
+    """
     m = query_pos.shape[0]
     origin, dims = _grid_geometry(src_pos, src_mask, cell_size)
     table = _build_cell_table(
         src_pos, src_mask, origin, dims, cell_size, table_size, cell_cap
     )
 
-    qcell = jnp.floor((query_pos - origin) / cell_size).astype(jnp.int32)
-    r = window // 2
-    offsets = jnp.stack(
-        jnp.meshgrid(*([jnp.arange(-r, r + 1)] * 3), indexing="ij"), -1
-    ).reshape(-1, 3)
-    w3 = offsets.shape[0]
-    # [M, W^3] neighbor-cell buckets; out-of-grid cells would alias other
+    # [M, W] neighbor-cell buckets; out-of-grid cells would alias other
     # linear ids, so route them to an always-empty sentinel row.
-    cells = qcell[:, None, :] + offsets[None, :, :]
+    cells = make_cells(query_pos, origin, dims)
+    w3 = cells.shape[1]
     in_bounds = jnp.all((cells >= 0) & (cells < dims[None, None, :]), axis=-1)
-    h = _cell_hash(cells, dims, table_size)  # [M, W^3]
+    h = _cell_hash(cells, dims, table_size)  # [M, W]
     h = jnp.where(in_bounds, h, table_size)
     # Sentinel row appended: -1 index bits / inf coords.
     inf = jnp.asarray(jnp.inf, jnp.float32)
@@ -590,7 +595,7 @@ def _grid_topk_neighbors(
 
     # Chunk queries; gather whole cell ROWS per bucket id (C entries per
     # gather index) instead of per-candidate elements — far fewer gather
-    # indices, and every intermediate is [chunk, W^3 * C] (lane dim =
+    # indices, and every intermediate is [chunk, W * C] (lane dim =
     # candidates), never a [*, 3]-trailing layout that TPU tiling pads
     # 3 -> 128 lanes.
     pad = (-m) % chunk
@@ -605,9 +610,8 @@ def _grid_topk_neighbors(
         rows = table[hh].reshape(chunk, w3, 4, cell_cap)
         cnd3 = jax.lax.bitcast_convert_type(rows[:, :, 0], jnp.int32)
         # Per-query overflow sentinel: a window cell with all cell_cap
-        # slots occupied MAY have dropped points at the build cap — the
-        # only way this search can miss a true neighbor.  (Sentinel /
-        # out-of-grid rows are empty, so they never read as full.)
+        # slots occupied MAY have dropped points at the build cap.
+        # (Sentinel / out-of-grid rows are empty, so never read as full.)
         at_cap = jnp.any(
             jnp.sum(cnd3 >= 0, axis=2) == cell_cap, axis=1
         )  # [chunk]
@@ -656,6 +660,27 @@ def _grid_topk_neighbors(
     return jnp.where(ok, idx, 0).astype(jnp.int32), ok, d2, at_cap
 
 
+def _grid_topk_neighbors(
+    src_pos, src_mask, query_pos, query_mask, k, radius2,
+    cell_size, window, table_size, cell_cap, chunk: int = 4096,
+    rng=None,
+):
+    """``window``^3 cells of edge ``cell_size`` centered on each query."""
+    r = window // 2
+    offsets = jnp.stack(
+        jnp.meshgrid(*([jnp.arange(-r, r + 1)] * 3), indexing="ij"), -1
+    ).reshape(-1, 3)
+
+    def make_cells(qp, origin, dims):
+        qcell = jnp.floor((qp - origin) / cell_size).astype(jnp.int32)
+        return qcell[:, None, :] + offsets[None, :, :]
+
+    return _grid_query(
+        src_pos, src_mask, query_pos, query_mask, k, radius2,
+        cell_size, make_cells, table_size, cell_cap, chunk, rng,
+    )
+
+
 def _grid_topk_neighbors_w2(
     src_pos, src_mask, query_pos, query_mask, k, radius2,
     coverage, table_size, cell_cap, chunk: int = 4096,
@@ -674,78 +699,19 @@ def _grid_topk_neighbors_w2(
     ``cell_cap`` here is per ``2*coverage``-cell (callers scale it by
     the cell-area ratio).
     """
-    m = query_pos.shape[0]
     s = 2.0 * coverage
-    origin, dims = _grid_geometry(src_pos, src_mask, s)
-    table = _build_cell_table(
-        src_pos, src_mask, origin, dims, s, table_size, cell_cap
-    )
-
-    lo = jnp.floor((query_pos - coverage - origin) / s).astype(jnp.int32)
     offsets = jnp.stack(
         jnp.meshgrid(*([jnp.arange(2)] * 3), indexing="ij"), -1
     ).reshape(-1, 3)
-    w3 = offsets.shape[0]  # 8
-    cells = lo[:, None, :] + offsets[None, :, :]
-    in_bounds = jnp.all((cells >= 0) & (cells < dims[None, None, :]), axis=-1)
-    h = _cell_hash(cells, dims, table_size)
-    h = jnp.where(in_bounds, h, table_size)
-    inf = jnp.asarray(jnp.inf, jnp.float32)
-    neg1_bits = jax.lax.bitcast_convert_type(
-        jnp.full((), -1, jnp.int32), jnp.float32
+
+    def make_cells(qp, origin, dims):
+        lo = jnp.floor((qp - coverage - origin) / s).astype(jnp.int32)
+        return lo[:, None, :] + offsets[None, :, :]
+
+    return _grid_query(
+        src_pos, src_mask, query_pos, query_mask, k, radius2,
+        s, make_cells, table_size, cell_cap, chunk, rng,
     )
-    sent = jnp.concatenate([
-        jnp.full((1, cell_cap), neg1_bits, jnp.float32),
-        jnp.full((1, 3 * cell_cap), inf, jnp.float32),
-    ], axis=1)
-    table = jnp.concatenate([table, sent])
-
-    pad = (-m) % chunk
-    h_p = jnp.pad(h, ((0, pad), (0, 0)), constant_values=table_size)
-    q_p = jnp.pad(query_pos, ((0, pad), (0, 0)))
-    n_chunks = (m + pad) // chunk
-    h_c = h_p.reshape(n_chunks, chunk, w3)
-    q_c = q_p.reshape(n_chunks, chunk, 3)
-
-    def one_chunk(args):
-        hh, q, kr = args
-        rows = table[hh].reshape(chunk, w3, 4, cell_cap)
-        cnd = jax.lax.bitcast_convert_type(
-            rows[:, :, 0], jnp.int32
-        ).reshape(chunk, w3 * cell_cap)
-        cx = rows[:, :, 1].reshape(chunk, w3 * cell_cap)
-        cy = rows[:, :, 2].reshape(chunk, w3 * cell_cap)
-        cz = rows[:, :, 3].reshape(chunk, w3 * cell_cap)
-        d2 = (
-            (cx - q[:, 0:1]) ** 2
-            + (cy - q[:, 1:2]) ** 2
-            + (cz - q[:, 2:3]) ** 2
-        )
-        d2 = jnp.where(cnd >= 0, d2, inf)
-        if radius2 is not None:
-            d2 = jnp.where(d2 < radius2, d2, inf)
-        if rng is not None:
-            pri = jax.random.uniform(kr, d2.shape, src_pos.dtype)
-            score = jnp.where(jnp.isfinite(d2), pri, inf)
-            _, idx, d2k = jax.lax.sort(
-                (score, cnd, d2), dimension=1, num_keys=1, is_stable=True
-            )
-        else:
-            d2k, idx = jax.lax.sort(
-                (d2, cnd), dimension=1, num_keys=1, is_stable=True
-            )
-        return idx[:, :k], d2k[:, :k]
-
-    keys = (
-        jax.random.split(rng, n_chunks)
-        if rng is not None
-        else jnp.zeros((n_chunks, 2), jnp.uint32)
-    )
-    idx, d2 = jax.lax.map(one_chunk, (h_c, q_c, keys))
-    idx = idx.reshape(-1, k)[:m]
-    d2 = d2.reshape(-1, k)[:m]
-    ok = jnp.isfinite(d2) & query_mask[:, None]
-    return jnp.where(ok, idx, 0).astype(jnp.int32), ok, d2
 
 
 def cell_overflow_fraction(
@@ -809,7 +775,7 @@ def grid_ball_query_neighborhood(
     )
 
     def per_example(sp, sm, qp, qm, kr):
-        idx, ok, _ = _grid_topk_neighbors_w2(
+        idx, ok, _, _ = _grid_topk_neighbors_w2(
             sp, sm, qp, qm, k, r2, float(radius), h_size, 4 * cell_cap,
             rng=kr if rng is not None else None,
         )
