@@ -131,6 +131,7 @@ class NeighborhoodProvider:
         neigh_type: str,
         k: int,
         spacing: Optional[float] = None,
+        multi_use: bool = True,
     ) -> Neighborhood:
         if neigh_type == "ball_query":
             neigh = ball_query_neighborhood(
@@ -141,10 +142,11 @@ class NeighborhoodProvider:
             neigh = knn_neighborhood(src_pc, dst_pc, k, grid_cell_size=spacing)
         else:
             raise ValueError(f"unknown neighborhood type {neigh_type!r}")
-        return self._attach_equiv_geometry(neigh, src_pc, dst_pc)
+        return self._attach_equiv_geometry(neigh, src_pc, dst_pc, multi_use)
 
     def _attach_equiv_geometry(
-        self, neigh: Neighborhood, src_pc: PointCloud, dst_pc: PointCloud
+        self, neigh: Neighborhood, src_pc: PointCloud, dst_pc: PointCloud,
+        multi_use: bool = True,
     ) -> Neighborhood:
         """Precompute the rot-equivariant edge geometry once per
         neighborhood (the reference's rot-tensor cache,
@@ -171,6 +173,13 @@ class NeighborhoodProvider:
             and conv.rel_rot_type == "6D"
         )
         if use_fused and fused_ok:
+            if not multi_use:
+                # single-conv neighborhood (decoder / FPN / seg-head /
+                # down convs): the fused conv fuses the geometry build
+                # into its feature gather (_gather_geo_feats — one
+                # latency-bound row-gather pass instead of two), which
+                # beats a pre-built cache consumed once.
+                return neigh
             # the fused path's cache payload: packed transposed geometry
             # only an actual bf16 request selects the bf16 (hi/lo split)
             # cache table — an explicit float32 compute_dtype must match
@@ -208,6 +217,9 @@ class NeighborhoodProvider:
                 neigh_type,
                 k,
                 spacing=self.hierarchy.levels_radii[src],
+                # self-neighborhoods feed a level's whole block stack;
+                # cross-level neighborhoods feed exactly one conv
+                multi_use=src == dst,
             )
         return self._cache[key]
 
@@ -219,4 +231,5 @@ class NeighborhoodProvider:
         return self._build(
             self.hierarchy.levels[src], dst_pc, radius, neigh_type, k,
             spacing=self.hierarchy.levels_radii[src],
+            multi_use=False,  # the seg head is one conv
         )

@@ -25,6 +25,7 @@ G out-frames, F in-frames, Cb num_basis, Ci/Co channels.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -432,6 +433,65 @@ def _gather_feats(feats, idx_c, mask_c, sort_c):
     return _gather_feats_me(feats, idx_c, mask_c)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_geo_feats(f, table, feats_flat, idx, mask):
+    """ONE row gather for geometry AND features of an uncached
+    neighborhood: rows ``[pos | F*9 frame comps | F*C features]``.
+
+    Row gathers are latency-bound per ROW on this platform (~9-21 ns
+    regardless of width up to the 128-lane tile,
+    experiments/chip_scatter_test3.py), so fusing the geometry and
+    feature gathers into one pass halves the conv forward's gather cost
+    for neighborhoods whose geometry is NOT pre-cached — the decoder /
+    FPN / seg-head convs each build a neighborhood consumed by exactly
+    one conv (reference builds its rot tensors per neighborhood too,
+    ``PNEConvLayerRotEquiv.py:62-128``).  Backward: gradients stop at
+    geometry by design (reference ``custom_ops/PNE.py:57-61``), so only
+    the feature columns scatter back — the identical flat index
+    scatter-add of :func:`_gather_feats_me`.
+    """
+    b, m, k = idx.shape
+    gc = table.shape[-1]
+    c = feats_flat.shape[-1] // f
+    tab = jnp.concatenate([table, feats_flat], axis=-1)
+    g = jax.vmap(lambda t, i: t[i])(tab, idx.reshape(b, m * k))
+    g = g.reshape(b, m, k, gc + f * c)
+    gf_geo = g[..., :gc]
+    feat = g[..., gc:].reshape(b, m, k, f, c)
+    feat = jnp.where(mask[:, :, :, None, None], feat, 0.0)
+    return gf_geo, feat.reshape(b, m, k * f, c)
+
+
+def _gather_geo_feats_fwd(f, table, feats_flat, idx, mask):
+    out = _gather_geo_feats(f, table, feats_flat, idx, mask)
+    # scalar dtype carrier: a dtype object is not a valid residual leaf
+    tzero = jnp.zeros((), table.dtype)
+    return out, (idx, mask, table.shape, feats_flat.shape, tzero)
+
+
+def _gather_geo_feats_bwd(f, res, gout):
+    idx, mask, tshape, fshape, tzero = res
+    _, d_feat = gout  # geometry columns are stop-gradient downstream
+    b, n, fc = fshape
+    c = fc // f
+    m, k = idx.shape[1:]
+    gm = jnp.where(
+        mask[:, :, :, None, None], d_feat.reshape(b, m, k, f, c), 0.0
+    )
+
+    def one(g_b, idx_b):
+        # f32 accumulation even for bf16 activations (see
+        # _gather_feats_me_bwd)
+        flat = g_b.reshape(m * k, fc).astype(jnp.float32)
+        return jnp.zeros((n, fc), jnp.float32).at[idx_b.reshape(-1)].add(flat)
+
+    dfeat = jax.vmap(one)(gm, idx).astype(d_feat.dtype)
+    return jnp.broadcast_to(tzero, tshape), dfeat, None, None
+
+
+_gather_geo_feats.defvjp(_gather_geo_feats_fwd, _gather_geo_feats_bwd)
+
+
 def _sort_tables_for(neigh: Neighborhood, n_src: int, m: int, m_chunk: int):
     """(perm, run_start, run_end) each [B, nch, ...] for the 'sorted'
     backward mode, or None in 'scatter' mode.  Uses the neighborhood's
@@ -476,21 +536,28 @@ def _equiv_geo_table(pc_in: PointCloud, f: int,
 
 
 def _packed_equiv_geo_chunk(table, ctr_c, fo_c, idx_c, kk, f, g, geo_dt):
-    """Per-component packed geometry for one query chunk.
-
-    Returns ``geo_t [B, G*10, mc*K*F]`` — rows (g, [rel(3), rot6(6),
-    ones]), lanes edges — with NO ``[..., 3]``/``[..., 3, 3]``
-    intermediates (TPU lane-pads a minor dim of 3 to 128: a 6-40x HBM
-    tax; the einsum geometry measured 31.6 ms/step at DFaust scale vs
-    ~12 ms packed).  Offsets are unscaled; the norm folds into the
-    projection rows.
-    """
+    """Per-component packed geometry for one query chunk (own gather)."""
     b, mc = idx_c.shape[:2]
-    e2 = mc * kk * f
-    split = table.dtype == jnp.bfloat16  # hi/lo split-precision table
-    pos_cols = 6 if split else 3
     gf = jax.vmap(lambda t, i: t[i])(table, idx_c.reshape(b, mc * kk))
-    gf = gf.reshape(b, mc, kk, pos_cols + f * 9)
+    gf = gf.reshape(b, mc, kk, table.shape[-1])
+    return _packed_equiv_geo_from_gf(gf, ctr_c, fo_c, f, g, geo_dt)
+
+
+def _packed_equiv_geo_from_gf(gf, ctr_c, fo_c, f, g, geo_dt):
+    """Per-component packed geometry from pre-gathered source rows.
+
+    ``gf [B, mc, K, pos_cols + F*9]`` are the gathered geo-table rows
+    (:func:`_equiv_geo_table` layout).  Returns ``geo_t [B, G*10,
+    mc*K*F]`` — rows (g, [rel(3), rot6(6), ones]), lanes edges — with NO
+    ``[..., 3]``/``[..., 3, 3]`` intermediates (TPU lane-pads a minor
+    dim of 3 to 128: a 6-40x HBM tax; the einsum geometry measured
+    31.6 ms/step at DFaust scale vs ~12 ms packed).  Offsets are
+    unscaled; the norm folds into the projection rows.
+    """
+    b, mc, kk = gf.shape[:3]
+    e2 = mc * kk * f
+    split = gf.dtype == jnp.bfloat16  # hi/lo split-precision table
+    pos_cols = 6 if split else 3
 
     def pos_col(c):
         if split:
@@ -617,12 +684,26 @@ def fused_equiv_conv(
         )
     sort_t = _sort_tables_for(neigh, features.shape[1], m, m_chunk)
 
+    feats_flat = (
+        feats_x.reshape(b, feats_x.shape[1], -1) if cached is None else None
+    )
+
     def chunk(ctr_c, fo_c, idx_c, mask_c, geo_c, sort_c):
-        if geo_c is None:
-            geo_c = _packed_equiv_geo_chunk(
-                table, ctr_c, fo_c, idx_c, kk, f, g, geo_dt
+        if geo_c is None and sort_c is None:
+            # single-use neighborhood: ONE merged row gather feeds both
+            # the packed geometry and the kernel's features
+            gf_geo, feat_g = _gather_geo_feats(
+                f, table, feats_flat, idx_c, mask_c
             )
-        feat_g = _gather_feats(feats_x, idx_c, mask_c, sort_c)
+            geo_c = _packed_equiv_geo_from_gf(
+                gf_geo, ctr_c, fo_c, f, g, geo_dt
+            )
+        else:
+            if geo_c is None:
+                geo_c = _packed_equiv_geo_chunk(
+                    table, ctr_c, fo_c, idx_c, kk, f, g, geo_dt
+                )
+            feat_g = _gather_feats(feats_x, idx_c, mask_c, sort_c)
         return fused_pne_conv(
             geo_c, feat_g, pa_scaled, proj_biases, conv_weights,
             g_frames=g, act=act, tile_m=tile_m, compute_dtype=cdt_name,
@@ -709,17 +790,32 @@ def fused_conv(
     pts_in = pc_in.positions
     sort_t = _sort_tables_for(neigh, features.shape[1], m, m_chunk)
 
+    # Merged position+feature row gather (see _gather_geo_feats): one
+    # latency-bound gather pass instead of two.  f32 only — positions
+    # must stay f32 for the offset subtraction, and a mixed-dtype table
+    # can't concat (the bf16 mode keeps separate gathers; its geometry
+    # traffic is already halved by the dtype).
+    merge = geo_dt == pts_in.dtype
+    feats_flat = feats4.reshape(b, feats4.shape[1], -1) if merge else None
+
     def chunk(ctr_c, idx_c, mask_c, sort_c):
         mc = idx_c.shape[1]
-        gp = jax.vmap(lambda t, i: t[i])(pts_in, idx_c.reshape(b, mc * kk))
-        gp = gp.reshape(b, mc, kk, 3)
+        if merge and sort_c is None:
+            gp, feat_g = _gather_geo_feats(
+                1, pts_in, feats_flat, idx_c, mask_c
+            )
+        else:
+            gp = jax.vmap(lambda t, i: t[i])(
+                pts_in, idx_c.reshape(b, mc * kk)
+            )
+            gp = gp.reshape(b, mc, kk, 3)
+            feat_g = _gather_feats(feats4, idx_c, mask_c, sort_c)
         rows = []
         for c in range(3):
             r = gp[..., c] - ctr_c[..., c][:, :, None]
             rows.append(r.reshape(b, mc * kk).astype(geo_dt))
         rows.append(jnp.ones((b, mc * kk), geo_dt))
         geo_t = jax.lax.stop_gradient(jnp.stack(rows, axis=1))  # [B, 4, mc*K]
-        feat_g = _gather_feats(feats4, idx_c, mask_c, sort_c)
         return fused_pne_conv(
             geo_t, feat_g, pa_scaled, proj_biases, conv_weights,
             g_frames=1, act=act, tile_m=tile_m, compute_dtype=cdt_name,

@@ -165,6 +165,20 @@ def test_cached_packed_geometry_path():
         pc, pc, neigh_c, feats, pa, pb, w, nd, nn, tile_m=32, m_chunk=32
     )
     np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref), atol=1e-5)
+    # gradients: the uncached path's merged geometry+feature gather
+    # (_gather_geo_feats) must backprop identically to the cached path's
+    # separate feature gather
+    def loss(n):
+        def l(ft):
+            o = ops.fused_equiv_conv(
+                pc, pc, n, ft, pa, pb, w, nd, nn, tile_m=32
+            )
+            return jnp.sum(o * jnp.cos(o))
+        return jax.grad(l)(feats)
+
+    np.testing.assert_allclose(
+        np.asarray(loss(neigh)), np.asarray(loss(neigh_c)), atol=1e-5
+    )
 
 
 def test_split_bf16_geo_table_reconstruction():
