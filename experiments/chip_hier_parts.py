@@ -15,7 +15,7 @@ import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 
-from se3conv3d_tpu.core.frames import pca_frames
+from se3conv3d_tpu.core.frames import pca_frames, pca_frames_from_components
 from se3conv3d_tpu.core.grid import build_grid_subsample
 from se3conv3d_tpu.core.hierarchy import (
     FrameConfig, HierarchyConfig, attach_frames, build_hierarchy,
@@ -52,6 +52,15 @@ def bench(seed):
                 PointCloud(positions=pts, mask=mask), 16,
                 grid_cell_size=0.1)
             fr = pca_frames(pc.positions, nb.idx, nb.mask, fixed_axis=2)
+            return c + jnp.sum(fr[:, :128].astype(jnp.float32)), ()
+        if PART == "pcac":
+            # gather-free path: positions ride the kNN payload sorts
+            nb = knn_neighborhood(
+                PointCloud(positions=pts, mask=mask),
+                PointCloud(positions=pts, mask=mask), 16,
+                grid_cell_size=0.1, want_positions=True)
+            fr = pca_frames_from_components(
+                pc.positions, nb.neigh_pos, nb.mask, fixed_axis=2)
             return c + jnp.sum(fr[:, :128].astype(jnp.float32)), ()
         if PART == "attach":
             out = attach_frames(jax.random.fold_in(key, 1), pc, FCFG,

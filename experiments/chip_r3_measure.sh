@@ -29,8 +29,9 @@ run hier 1500 python experiments/chip_hier_parts.py hier
 run train 2400 env PART=train python experiments/chip_step_breakdown.py
 # 4. headline bench (cache warm; program unchanged)
 run bench 600 python bench.py
-# 5. PCA part cost (for the moments-in-query decision)
+# 5. PCA part cost: gather oracle vs payload-carried components path
 run pca 1500 python experiments/chip_hier_parts.py pca
+run pcac 1500 python experiments/chip_hier_parts.py pcac
 # 6. subsample part cost
 run subsample 1500 python experiments/chip_hier_parts.py subsample
 echo "SWEEP DONE $(date +%H:%M:%S)" | tee -a "$LOG"

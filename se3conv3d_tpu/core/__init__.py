@@ -22,6 +22,7 @@ from .rotation import (
 from .frames import (
     global_pca_frames,
     pca_frames,
+    pca_frames_from_components,
     random_frames,
     shuffle_and_select_frames,
 )

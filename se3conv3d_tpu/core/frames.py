@@ -34,6 +34,7 @@ __all__ = [
     "FREE_SIGN_SETS",
     "FIXED_SIGN_SETS",
     "pca_frames",
+    "pca_frames_from_components",
     "global_pca_frames",
     "shuffle_and_select_frames",
     "random_frames",
@@ -194,6 +195,65 @@ def pca_frames(
 
     centered = neigh_pts - jnp.mean(neigh_pts, axis=-2, keepdims=True)
     cov = jnp.einsum("...kd,...ke->...de", centered, centered)
+    return _frames_from_cov(cov, fixed_axis)
+
+
+def pca_frames_from_components(
+    positions: jnp.ndarray,
+    neigh_pos: jnp.ndarray,
+    neigh_mask: jnp.ndarray,
+    fixed_axis: Union[bool, int, None] = False,
+) -> jnp.ndarray:
+    """:func:`pca_frames` from pre-fetched neighbor coordinates.
+
+    Same math and conventions as :func:`pca_frames`, but the neighbor
+    positions arrive component-major (``Neighborhood.neigh_pos``,
+    ``[..., 3, N, K]`` — the grid search carries them through its payload
+    sorts), so no M*K-row position gather happens here; the covariance is
+    assembled from per-component moments, never materialising a
+    ``[..., K, 3]`` intermediate (TPU tiling pads a trailing 3 to 128
+    lanes).  Reference semantics: ``RotationFunctions.py:307-406``
+    including the self-loop fill for invalid neighbors (``:314-317``).
+
+    Args:
+      positions: ``[..., N, 3]`` query/center coordinates (the self-fill
+        values).
+      neigh_pos: ``[..., 3, N, K]`` neighbor coordinates, component-major.
+      neigh_mask: ``[..., N, K]`` bool validity.
+      fixed_axis: as in :func:`pca_frames`.
+    """
+    if is_fixed_axis(fixed_axis) and int(fixed_axis) == 0:
+        raise ValueError(
+            "fixed_axis=0 is unreachable in the reference (falsy check); "
+            "use False for free frames"
+        )
+    comps = []
+    for c in range(3):
+        if is_fixed_axis(fixed_axis) and c == int(fixed_axis):
+            comps.append(jnp.zeros_like(neigh_mask, positions.dtype))
+            continue
+        comps.append(
+            jnp.where(
+                neigh_mask,
+                neigh_pos[..., c, :, :],
+                positions[..., :, c : c + 1],
+            )
+        )
+    centered = [p - jnp.mean(p, axis=-1, keepdims=True) for p in comps]
+    entries = [
+        [jnp.sum(centered[i] * centered[j], axis=-1) for j in range(3)]
+        for i in range(3)
+    ]
+    cov = jnp.stack(
+        [jnp.stack(row, axis=-1) for row in entries], axis=-2
+    )  # [..., N, 3, 3]
+    return _frames_from_cov(cov, fixed_axis)
+
+
+def _frames_from_cov(
+    cov: jnp.ndarray, fixed_axis: Union[bool, int, None]
+) -> jnp.ndarray:
+    """Shared eigendecomposition + sign-set tail of the PCA frame paths."""
     eigvec = _eigh_frames(cov)
 
     if is_fixed_axis(fixed_axis):

@@ -33,6 +33,7 @@ from flax import struct
 from .frames import (
     global_pca_frames,
     pca_frames,
+    pca_frames_from_components,
     random_frames,
     shuffle_and_select_frames,
 )
@@ -207,15 +208,26 @@ def attach_frames(
         return pc.with_frames(frames)
 
     if cfg.neigh_method == "knn":
-        neigh = knn_neighborhood(pc, pc, cfg.neigh_k, grid_cell_size=spacing)
+        # want_positions: the search carries neighbor coordinates through
+        # its payload sorts, so the PCA below needs no M*K-row gather.
+        neigh = knn_neighborhood(
+            pc, pc, cfg.neigh_k, grid_cell_size=spacing,
+            want_positions=True,
+        )
     elif cfg.neigh_method == "ball_query":
         neigh = ball_query_neighborhood(pc, pc, cfg.bq_radius, cfg.neigh_k)
     else:
         raise ValueError(f"unknown frame neigh_method {cfg.neigh_method!r}")
 
-    candidates = pca_frames(
-        pc.positions, neigh.idx, neigh.mask, fixed_axis=cfg.fixed_axis
-    )  # [B, N, S, 3, 3]
+    if neigh.neigh_pos is not None:
+        candidates = pca_frames_from_components(
+            pc.positions, neigh.neigh_pos, neigh.mask,
+            fixed_axis=cfg.fixed_axis,
+        )  # [B, N, S, 3, 3]
+    else:
+        candidates = pca_frames(
+            pc.positions, neigh.idx, neigh.mask, fixed_axis=cfg.fixed_axis
+        )  # [B, N, S, 3, 3]
     n_candidates = candidates.shape[2]
     if cfg.n_frames > n_candidates:
         raise ValueError(

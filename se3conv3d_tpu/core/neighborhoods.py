@@ -101,6 +101,14 @@ class Neighborhood(struct.PyTreeNode):
     bwd_perm: Optional[jnp.ndarray] = None  # [B, nch, mc*K] int32
     bwd_run_start: Optional[jnp.ndarray] = None  # [B, nch, N] int32
     bwd_run_end: Optional[jnp.ndarray] = None  # [B, nch, N] int32
+    # Neighbor coordinates ``[B, 3, M, K]`` (component-major — never a
+    # trailing-3 layout), filled when the search is asked to
+    # ``want_positions``.  The grid path carries them through its variadic
+    # sorts for free, sparing consumers (PCA frames) a fresh M*K-row
+    # position gather — row gathers are latency-bound per row on this
+    # platform (~9-21 ns each, experiments/chip_scatter_test3.py).
+    # Invalid slots (``~mask``) hold unspecified values.
+    neigh_pos: Optional[jnp.ndarray] = None
 
     @property
     def k(self) -> int:
@@ -177,6 +185,7 @@ def knn_neighborhood(
     grid_cell_size: Optional[float] = None,
     cell_cap: int = 32,
     table_size: Optional[int] = None,
+    want_positions: bool = False,
 ) -> Neighborhood:
     """k-nearest-neighbors from ``src`` for each ``query`` point.
 
@@ -190,6 +199,11 @@ def knn_neighborhood(
     drops candidates (recall loss) — check ``cell_overflow_fraction`` at
     calibration time for unusually dense data and raise the cap
     (tests/test_grid_recall.py quantifies both regimes).
+
+    ``want_positions`` additionally fills ``Neighborhood.neigh_pos``
+    (``[B, 3, M, K]`` neighbor coordinates): the grid path carries them
+    through its payload sorts, so PCA frame construction downstream needs
+    no M*K-row position gather (``core.frames.pca_frames_from_components``).
     """
     if grid_cell_size is not None and src.capacity >= GRID_AUTO_THRESHOLD:
         # 3x3x3 window at cell = KNN_CELL_FACTOR x spacing: worst-case
@@ -224,16 +238,22 @@ def knn_neighborhood(
         m = query.positions.shape[1]
         cap_b = min(m, max(4096, m // 4))
 
-        def union_topk(cands_i, cands_d, qmask):
+        def union_topk(cands, qmask):
             # union of the passes: sort by candidate id, kill repeats,
             # then keep the k nearest.  Both passes are variadic
             # payload sorts (argsort/top_k + take_along_axis pays
             # ~25x-slow scalar element gathers on this TPU,
-            # experiments/chip_bq_parts.py).
-            ci = jnp.concatenate(cands_i, axis=1)          # [., 3k]
-            cd = jnp.concatenate(cands_d, axis=1)
-            ci, cd = jax.lax.sort(
-                (ci, cd), dimension=1, num_keys=1, is_stable=True
+            # experiments/chip_bq_parts.py).  ``cands`` is a list of
+            # per-pass tuples ``(ids, d2[, px, py, pz])`` — the optional
+            # coordinate payloads ride both sorts so they stay aligned
+            # with the ids.
+            arity = len(cands[0])
+            arrs = tuple(
+                jnp.concatenate([c[j] for c in cands], axis=1)
+                for j in range(arity)
+            )
+            ci, cd, *pos = jax.lax.sort(
+                arrs, dimension=1, num_keys=1, is_stable=True
             )
             dup = jnp.concatenate(
                 [jnp.zeros_like(ci[:, :1], bool),
@@ -241,28 +261,32 @@ def knn_neighborhood(
                 axis=1,
             )
             cd = jnp.where(dup | (ci < 0), jnp.inf, cd)
-            cd, ci = jax.lax.sort(
-                (cd, ci), dimension=1, num_keys=1, is_stable=True
+            cd, ci, *pos = jax.lax.sort(
+                (cd, ci) + tuple(pos), dimension=1, num_keys=1,
+                is_stable=True,
             )
             ok = jnp.isfinite(cd[:, :k]) & qmask[:, None]
             return (
                 jnp.where(ok, ci[:, :k], 0).astype(jnp.int32),
                 ok,
                 cd[:, :k],
-            )
+            ) + tuple(p[:, :k] for p in pos)
 
         def fine_pass(sp, sm, qp, qm):
-            idx1, ok1, d21, at_cap = _grid_topk_neighbors(
-                sp, sm, qp, qm, k, None, cell, 3, h_size, cell_cap
+            res = _grid_topk_neighbors(
+                sp, sm, qp, qm, k, None, cell, 3, h_size, cell_cap,
+                want_pos=want_positions,
             )
+            idx1, ok1, d21, at_cap = res[:4]
+            pos1 = res[4] if want_positions else ()
             # In-window hash collisions (possible only when an in-window
             # linear-id difference is ≡ 0 mod the table size) duplicate a
             # cell's candidates; the certificate below must count UNIQUE
             # sources, so dedup through the same union sort the backfill
             # uses.  The final result is dedup'd either way.
-            idx1, ok1, d21 = union_topk(
-                [jnp.where(ok1, idx1, -1)],
-                [jnp.where(ok1, d21, jnp.inf)],
+            idx1, ok1, d21, *pos1 = union_topk(
+                [(jnp.where(ok1, idx1, -1),
+                  jnp.where(ok1, d21, jnp.inf)) + tuple(pos1)],
                 qm,
             )
             # Provably exact rows: k unique candidates found, the k-th
@@ -291,22 +315,26 @@ def knn_neighborhood(
             # 3 = invalid query.
             pri = jnp.where(exact, 2, 0)
             pri = jnp.where(qm, pri, 3).astype(jnp.int32)
-            return idx1, ok1, d21, pri
+            return (idx1, ok1, d21, pri, tuple(pos1))
 
-        idx1, ok1, d21, pri = jax.vmap(fine_pass)(
+        idx1, ok1, d21, pri, pos1 = jax.vmap(fine_pass)(
             src.positions, src.mask, query.positions, query.mask
         )
 
         def coarse(sp, sm, qpos, qmask):
-            out_i, out_d = [], []
+            out = []
             for scale in (3.0, 9.0):
-                idx, ok, d2, _ = _grid_topk_neighbors(
+                res = _grid_topk_neighbors(
                     sp, sm, qpos, qmask, k, None, scale * cell, 3,
-                    h_size, cell_cap,
+                    h_size, cell_cap, want_pos=want_positions,
                 )
-                out_i.append(jnp.where(ok, idx, -1))
-                out_d.append(jnp.where(ok, d2, jnp.inf))
-            return out_i, out_d
+                idx, ok, d2 = res[:3]
+                cpos = res[4] if want_positions else ()
+                out.append(
+                    (jnp.where(ok, idx, -1),
+                     jnp.where(ok, d2, jnp.inf)) + tuple(cpos)
+                )
+            return out
 
         # The fine pass alone is near-exact at scan density (recall
         # 0.99997 measured); the 3x/9x backfill passes only matter for
@@ -321,20 +349,22 @@ def knn_neighborhood(
         # is one lax.cond OUTSIDE the per-example vmap: vmapping a
         # cond would lower it to a select that executes BOTH branches.
         def backfill_subset(args):
-            i1, o1, d1, pr, sp_b, sm_b, qp_b, qm_b = args
+            i1, o1, d1, pr, p1, sp_b, sm_b, qp_b, qm_b = args
 
-            def per_ex(i1e, o1e, d1e, pre, sp, sm, qp, qm):
+            def per_ex(i1e, o1e, d1e, pre, p1e, sp, sm, qp, qm):
                 pri_s, qid_s = jax.lax.sort(
                     (pre, jnp.arange(m, dtype=jnp.int32)),
                     dimension=0, num_keys=1, is_stable=True,
                 )
                 qid_b = qid_s[:cap_b]
                 run_b = pri_s[:cap_b] == 0
-                ci, cd = coarse(sp, sm, qp[qid_b], qm[qid_b] & run_b)
-                idx_u, ok_u, _ = union_topk(
-                    [jnp.where(o1e[qid_b], i1e[qid_b], -1)] + ci,
-                    [jnp.where(o1e[qid_b], d1e[qid_b], jnp.inf)] + cd,
-                    qm[qid_b],
+                cands = coarse(sp, sm, qp[qid_b], qm[qid_b] & run_b)
+                fine_c = (
+                    jnp.where(o1e[qid_b], i1e[qid_b], -1),
+                    jnp.where(o1e[qid_b], d1e[qid_b], jnp.inf),
+                ) + tuple(p[qid_b] for p in p1e)
+                idx_u, ok_u, _, *pos_u = union_topk(
+                    [fine_c] + cands, qm[qid_b]
                 )
                 # Masked-out buffer rows (exact / invalid) round-trip
                 # unchanged: their union is the fine-pass candidate
@@ -342,48 +372,59 @@ def knn_neighborhood(
                 return (
                     i1e.at[qid_b].set(idx_u).astype(jnp.int32),
                     o1e.at[qid_b].set(ok_u),
+                    tuple(
+                        p.at[qid_b].set(pu) for p, pu in zip(p1e, pos_u)
+                    ),
                 )
 
             return jax.vmap(per_ex)(
-                i1, o1, d1, pr, sp_b, sm_b, qp_b, qm_b
+                i1, o1, d1, pr, p1, sp_b, sm_b, qp_b, qm_b
             )
 
         def backfill_all(args):
-            i1, o1, d1, pr, sp_b, sm_b, qp_b, qm_b = args
+            i1, o1, d1, pr, p1, sp_b, sm_b, qp_b, qm_b = args
 
-            def per_ex(i1e, o1e, d1e, sp, sm, qp, qm):
-                ci, cd = coarse(sp, sm, qp, qm)
-                idx_u, ok_u, _ = union_topk(
-                    [jnp.where(o1e, i1e, -1)] + ci,
-                    [jnp.where(o1e, d1e, jnp.inf)] + cd,
-                    qm,
-                )
-                return idx_u, ok_u
+            def per_ex(i1e, o1e, d1e, p1e, sp, sm, qp, qm):
+                cands = coarse(sp, sm, qp, qm)
+                fine_c = (
+                    jnp.where(o1e, i1e, -1),
+                    jnp.where(o1e, d1e, jnp.inf),
+                ) + tuple(p1e)
+                idx_u, ok_u, _, *pos_u = union_topk([fine_c] + cands, qm)
+                return idx_u, ok_u, tuple(pos_u)
 
             return jax.vmap(per_ex)(
-                i1, o1, d1, sp_b, sm_b, qp_b, qm_b
+                i1, o1, d1, p1, sp_b, sm_b, qp_b, qm_b
             )
 
         n_flagged = jnp.max(jnp.sum(pri == 0, axis=1))
-        idx, mask = jax.lax.cond(
+        idx, mask, pos = jax.lax.cond(
             n_flagged <= cap_b,
             backfill_subset,
             backfill_all,
-            (idx1, ok1, d21, pri, src.positions, src.mask,
+            (idx1, ok1, d21, pri, pos1, src.positions, src.mask,
              query.positions, query.mask),
         )
         return Neighborhood(
-            idx=idx, mask=mask, query_mask=query.mask, method="knn"
+            idx=idx, mask=mask, query_mask=query.mask, method="knn",
+            neigh_pos=jnp.stack(pos, axis=1) if want_positions else None,
         )
 
     def per_example(sp, sm, qp, qm):
         idx, mask, _ = _chunked_topk_neighbors(sp, sm, qp, qm, k, None, chunk)
-        return idx, mask
+        if want_positions:
+            # Small-cloud brute path: per-component fancy-index gathers
+            # are cheap at this scale and avoid a trailing-3 layout.
+            return idx, mask, tuple(sp[:, c][idx] for c in range(3))
+        return idx, mask, ()
 
-    idx, mask = jax.vmap(per_example)(
+    idx, mask, pos = jax.vmap(per_example)(
         src.positions, src.mask, query.positions, query.mask
     )
-    return Neighborhood(idx=idx, mask=mask, query_mask=query.mask, method="knn")
+    return Neighborhood(
+        idx=idx, mask=mask, query_mask=query.mask, method="knn",
+        neigh_pos=jnp.stack(pos, axis=1) if want_positions else None,
+    )
 
 
 def ball_query_neighborhood(
@@ -557,6 +598,7 @@ def _build_cell_table(pos, mask, origin, dims, cell_size, table_size, cell_cap):
 def _grid_query(
     src_pos, src_mask, query_pos, query_mask, k, radius2,
     cell_size, make_cells, table_size, cell_cap, chunk=4096, rng=None,
+    want_pos=False,
 ):
     """Shared grid-query body of the two window layouts below.
 
@@ -567,7 +609,11 @@ def _grid_query(
     payload sort (see inline notes).  Returns ``(idx, ok, d2, at_cap)``
     with ``at_cap[m]`` true when any in-bounds candidate cell of query m
     had ALL ``cell_cap`` slots occupied — the only condition under which
-    the build cap can have dropped a true neighbor.
+    the build cap can have dropped a true neighbor.  With ``want_pos``
+    the selected candidates' coordinates ride the payload sort too and a
+    trailing ``(px, py, pz)`` (each ``[M, K]``) is appended to the return
+    — the hash-table rows already hold them, so this costs three extra
+    sort payloads instead of an M*K-row gather downstream.
     """
     m = query_pos.shape[0]
     origin, dims = _grid_geometry(src_pos, src_mask, cell_size)
@@ -633,37 +679,45 @@ def _grid_query(
         # 131k — scalar take_along_axis is the known ~25x-slow pattern,
         # experiments/chip_bq_parts.py), while a payload sort + slice is
         # pure row work.  Stable ascending sort == top_k tie semantics.
+        pos_pay = (cx, cy, cz) if want_pos else ()
         if rng is not None:
             # reservoir cap mode: uniform k-subset of in-range candidates
             pri = jax.random.uniform(kr, d2.shape, src_pos.dtype)
             score = jnp.where(jnp.isfinite(d2), pri, inf)
-            _, idx, d2k = jax.lax.sort(
-                (score, cnd, d2), dimension=1, num_keys=1, is_stable=True
+            _, idx, d2k, *pos_k = jax.lax.sort(
+                (score, cnd, d2) + pos_pay,
+                dimension=1, num_keys=1, is_stable=True,
             )
         else:
-            d2s, idx = jax.lax.sort(
-                (d2, cnd), dimension=1, num_keys=1, is_stable=True
+            d2s, idx, *pos_k = jax.lax.sort(
+                (d2, cnd) + pos_pay,
+                dimension=1, num_keys=1, is_stable=True,
             )
             d2k = d2s
-        return idx[:, :k], d2k[:, :k], at_cap
+        return (idx[:, :k], d2k[:, :k], at_cap) + tuple(
+            p[:, :k] for p in pos_k
+        )
 
     keys = (
         jax.random.split(rng, n_chunks)
         if rng is not None
         else jnp.zeros((n_chunks, 2), jnp.uint32)
     )
-    idx, d2, at_cap = jax.lax.map(one_chunk, (h_c, q_c, keys))
+    idx, d2, at_cap, *pos = jax.lax.map(one_chunk, (h_c, q_c, keys))
     idx = idx.reshape(-1, k)[:m]
     d2 = d2.reshape(-1, k)[:m]
     at_cap = at_cap.reshape(-1)[:m]
     ok = jnp.isfinite(d2) & query_mask[:, None]
-    return jnp.where(ok, idx, 0).astype(jnp.int32), ok, d2, at_cap
+    out = (jnp.where(ok, idx, 0).astype(jnp.int32), ok, d2, at_cap)
+    if want_pos:
+        out += (tuple(p.reshape(-1, k)[:m] for p in pos),)
+    return out
 
 
 def _grid_topk_neighbors(
     src_pos, src_mask, query_pos, query_mask, k, radius2,
     cell_size, window, table_size, cell_cap, chunk: int = 4096,
-    rng=None,
+    rng=None, want_pos=False,
 ):
     """``window``^3 cells of edge ``cell_size`` centered on each query."""
     r = window // 2
@@ -677,7 +731,7 @@ def _grid_topk_neighbors(
 
     return _grid_query(
         src_pos, src_mask, query_pos, query_mask, k, radius2,
-        cell_size, make_cells, table_size, cell_cap, chunk, rng,
+        cell_size, make_cells, table_size, cell_cap, chunk, rng, want_pos,
     )
 
 
