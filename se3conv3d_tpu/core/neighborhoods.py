@@ -277,7 +277,7 @@ def knn_neighborhood(
                 sp, sm, qp, qm, k, None, cell, 3, h_size, cell_cap,
                 want_pos=want_positions,
             )
-            idx1, ok1, d21, at_cap = res[:4]
+            idx1, ok1, d21, cap_md2 = res[:4]
             pos1 = res[4] if want_positions else ()
             # In-window hash collisions (possible only when an in-window
             # linear-id difference is ≡ 0 mod the table size) duplicate a
@@ -293,10 +293,13 @@ def knn_neighborhood(
             # distance fits inside the guaranteed coverage of the 3^3
             # window (distance from the query to the nearest window
             # face, counting faces clipped at the data AABB as open —
-            # no source points lie beyond them), AND no window cell was
-            # at the build capacity (an at-cap cell may have dropped a
-            # nearer point, so those rows go to the coarse backfill,
-            # whose larger cells re-sample the region).
+            # no source points lie beyond them), AND no window cell that
+            # was at the build capacity sits closer than the k-th
+            # neighbor (an at-cap cell may have dropped a nearer point,
+            # but a dropped point lies no closer than the cell's AABB —
+            # full cells beyond d_k cannot change the answer; the rest go
+            # to the coarse backfill, whose larger cells re-sample the
+            # region).
             origin, dims = _grid_geometry(sp, sm, cell)
             qcell = jnp.floor((qp - origin) / cell).astype(jnp.int32)
             inf = jnp.asarray(jnp.inf, sp.dtype)
@@ -310,7 +313,11 @@ def knn_neighborhood(
             )
             cov = jnp.min(jnp.minimum(cov_lo, cov_hi), axis=-1)  # [m]
             cnt = jnp.sum(ok1, axis=1)
-            exact = (cnt >= k) & (d21[:, -1] <= cov * cov) & ~at_cap
+            exact = (
+                (cnt >= k)
+                & (d21[:, -1] <= cov * cov)
+                & ~(cap_md2 < d21[:, -1])
+            )
             # priority: 0 = needs backfill, 2 = provably exact,
             # 3 = invalid query.
             pri = jnp.where(exact, 2, 0)
@@ -545,14 +552,18 @@ def _cell_hash(cell: jnp.ndarray, dims: jnp.ndarray, table_size: int) -> jnp.nda
 def _build_cell_table(pos, mask, origin, dims, cell_size, table_size, cell_cap):
     """Bucket points into ONE packed hash table ``[H, 4*cell_cap]``.
 
-    Row layout is component-major ``[idx_bits(cap) | x(cap) | y(cap) |
-    z(cap)]`` (idx stored as bitcast f32; empty slots carry idx=-1 bits /
-    inf coords).  One row-scatter builds it and one row-gather per
-    candidate cell reads it: the earlier 4-table design cost FIVE scalar
-    scatters per build, and scalar scatter/gather runs ~25x slower than
-    row ops on this TPU (experiments/chip_gather_test.py) — the packed
-    table cut the 131k-point grid ball query from 293 ms to the
-    row-op regime.
+    Row layout is component-major ``[idx+1(cap) | x(cap) | y(cap) |
+    z(cap)]`` (empty slots carry 0 / inf coords).  The index channel
+    stores ``i + 1`` as a plain f32 VALUE — exact below 2**24 — NOT a
+    bitcast of the int bits: TPU flushes denormal f32 to zero in data
+    movement and canonicalizes NaN constants, so bitcast index bits
+    (denormal patterns for i < 2**23, NaN for the -1 sentinel) silently
+    corrupt on chip (measured: a scattered [0,1,2] row read back [0,0,0]
+    and every row counted as full — r3 session-E probes).  One
+    row-scatter builds the table and one row-gather per candidate cell
+    reads it: scalar scatter/gather runs ~25x slower than row ops on
+    this TPU (experiments/chip_gather_test.py) — the packed table cut
+    the 131k-point grid ball query from 293 ms to the row-op regime.
     """
     n = pos.shape[0]
     cell = jnp.floor((pos - origin) / cell_size).astype(jnp.int32)
@@ -575,17 +586,16 @@ def _build_cell_table(pos, mask, origin, dims, cell_size, table_size, cell_cap):
     slots = jnp.where(
         slot_ok, h_sorted * cell_cap + pos_in_run, table_size * cell_cap
     ).astype(jnp.int32)
-    idx_bits = jax.lax.bitcast_convert_type(
-        jnp.arange(n, dtype=jnp.int32), jnp.float32
-    )
+    if n >= (1 << 24):  # f32 integer exactness bound for the idx channel
+        raise ValueError(
+            f"grid table capacity {n} exceeds 2**24-1 (f32-exact indices)"
+        )
+    idx_val = jnp.arange(1, n + 1, dtype=jnp.float32)
     payload = jnp.concatenate(
-        [idx_bits[:, None], pos.astype(jnp.float32)], axis=1
+        [idx_val[:, None], pos.astype(jnp.float32)], axis=1
     )[order]                                                  # [N, 4] sorted
-    neg1_bits = jax.lax.bitcast_convert_type(
-        jnp.full((), -1, jnp.int32), jnp.float32
-    )
     init_row = jnp.stack(
-        [neg1_bits, jnp.inf, jnp.inf, jnp.inf]
+        [0.0, jnp.inf, jnp.inf, jnp.inf]
     ).astype(jnp.float32)
     tab = jnp.broadcast_to(
         init_row, (table_size * cell_cap + 1, 4)
@@ -606,10 +616,14 @@ def _grid_query(
     ``make_cells(query_pos, origin, dims) -> [M, W, 3]`` for each query's
     candidate cells, then per query chunk: gather the W cell ROWS, filter
     by distance (and ``radius2`` if given), and keep k by a variadic
-    payload sort (see inline notes).  Returns ``(idx, ok, d2, at_cap)``
-    with ``at_cap[m]`` true when any in-bounds candidate cell of query m
-    had ALL ``cell_cap`` slots occupied — the only condition under which
-    the build cap can have dropped a true neighbor.  With ``want_pos``
+    payload sort (see inline notes).  Returns ``(idx, ok, d2, cap_md2)``
+    where ``cap_md2[m]`` is the squared distance from query m to the
+    nearest point of the closest candidate cell that had ALL ``cell_cap``
+    slots occupied at build time (+inf when none was) — capacity overflow
+    is the only condition under which the build can have dropped a true
+    neighbor, and a dropped point in that cell lies no closer than the
+    cell's AABB, so a caller holding a proven k-th-neighbor distance
+    ``d2_k`` is affected only when ``cap_md2 < d2_k``.  With ``want_pos``
     the selected candidates' coordinates ride the payload sort too and a
     trailing ``(px, py, pz)`` (each ``[M, K]``) is appended to the return
     — the hash-table rows already hold them, so this costs three extra
@@ -628,13 +642,22 @@ def _grid_query(
     in_bounds = jnp.all((cells >= 0) & (cells < dims[None, None, :]), axis=-1)
     h = _cell_hash(cells, dims, table_size)  # [M, W]
     h = jnp.where(in_bounds, h, table_size)
-    # Sentinel row appended: -1 index bits / inf coords.
+    # Squared distance from each query to each candidate cell's AABB
+    # (0 for the cell containing it) — feeds the overflow certificate.
+    # Per-component accumulation onto [M, W]; a fused [M, W, 3] float
+    # intermediate would lane-pad 3 -> 128.
+    md2 = jnp.zeros(h.shape, query_pos.dtype)
+    for d in range(3):
+        lo = origin[d] + cells[..., d].astype(query_pos.dtype) * cell_size
+        qd = query_pos[:, d : d + 1]
+        md2 += (
+            jnp.clip(lo - qd, min=0.0) ** 2
+            + jnp.clip(qd - (lo + cell_size), min=0.0) ** 2
+        )
+    # Sentinel row appended: 0 (empty) index values / inf coords.
     inf = jnp.asarray(jnp.inf, jnp.float32)
-    neg1_bits = jax.lax.bitcast_convert_type(
-        jnp.full((), -1, jnp.int32), jnp.float32
-    )
     sent = jnp.concatenate([
-        jnp.full((1, cell_cap), neg1_bits, jnp.float32),
+        jnp.zeros((1, cell_cap), jnp.float32),
         jnp.full((1, 3 * cell_cap), inf, jnp.float32),
     ], axis=1)
     table = jnp.concatenate([table, sent])
@@ -647,19 +670,26 @@ def _grid_query(
     pad = (-m) % chunk
     h_p = jnp.pad(h, ((0, pad), (0, 0)), constant_values=table_size)
     q_p = jnp.pad(query_pos, ((0, pad), (0, 0)))
+    md2_p = jnp.pad(md2, ((0, pad), (0, 0)))
     n_chunks = (m + pad) // chunk
     h_c = h_p.reshape(n_chunks, chunk, w3)
     q_c = q_p.reshape(n_chunks, chunk, 3)
+    md2_c = md2_p.reshape(n_chunks, chunk, w3)
 
     def one_chunk(args):
-        hh, q, kr = args
+        hh, q, mdq, kr = args
         rows = table[hh].reshape(chunk, w3, 4, cell_cap)
-        cnd3 = jax.lax.bitcast_convert_type(rows[:, :, 0], jnp.int32)
-        # Per-query overflow sentinel: a window cell with all cell_cap
-        # slots occupied MAY have dropped points at the build cap.
+        # idx+1 stored as f32 VALUES (0 = empty slot); -1 after the
+        # shift marks empties, matching the downstream conventions.
+        cnd3 = rows[:, :, 0].astype(jnp.int32) - 1
+        # Per-query overflow certificate: a window cell with all cell_cap
+        # slots occupied MAY have dropped points at the build cap, but a
+        # dropped point lies no closer than that cell's AABB — report the
+        # nearest full cell's AABB distance (inf when no cell is full).
         # (Sentinel / out-of-grid rows are empty, so never read as full.)
-        at_cap = jnp.any(
-            jnp.sum(cnd3 >= 0, axis=2) == cell_cap, axis=1
+        full = jnp.sum(cnd3 >= 0, axis=2) == cell_cap  # [chunk, w3]
+        cap_md2 = jnp.min(
+            jnp.where(full, mdq, jnp.inf), axis=1
         )  # [chunk]
         cnd = cnd3.reshape(chunk, w3 * cell_cap)
         cx = rows[:, :, 1].reshape(chunk, w3 * cell_cap)
@@ -694,7 +724,7 @@ def _grid_query(
                 dimension=1, num_keys=1, is_stable=True,
             )
             d2k = d2s
-        return (idx[:, :k], d2k[:, :k], at_cap) + tuple(
+        return (idx[:, :k], d2k[:, :k], cap_md2) + tuple(
             p[:, :k] for p in pos_k
         )
 
@@ -703,12 +733,12 @@ def _grid_query(
         if rng is not None
         else jnp.zeros((n_chunks, 2), jnp.uint32)
     )
-    idx, d2, at_cap, *pos = jax.lax.map(one_chunk, (h_c, q_c, keys))
+    idx, d2, cap_md2, *pos = jax.lax.map(one_chunk, (h_c, q_c, md2_c, keys))
     idx = idx.reshape(-1, k)[:m]
     d2 = d2.reshape(-1, k)[:m]
-    at_cap = at_cap.reshape(-1)[:m]
+    cap_md2 = cap_md2.reshape(-1)[:m]
     ok = jnp.isfinite(d2) & query_mask[:, None]
-    out = (jnp.where(ok, idx, 0).astype(jnp.int32), ok, d2, at_cap)
+    out = (jnp.where(ok, idx, 0).astype(jnp.int32), ok, d2, cap_md2)
     if want_pos:
         out += (tuple(p.reshape(-1, k)[:m] for p in pos),)
     return out

@@ -173,6 +173,53 @@ def test_reservoir_cap_mode_uniform_sampling():
     np.testing.assert_array_equal(np.asarray(nb1.idx), np.asarray(nb2.idx))
 
 
+def test_grid_query_cap_md2_certificate():
+    """``_grid_query`` reports, per query, the squared distance to the
+    nearest candidate cell that was FULL at build time (inf when none
+    was).  The kNN exactness certificate compares this against the k-th
+    neighbor distance: a point dropped by the build cap lies no closer
+    than its cell's AABB, so full cells beyond d_k cannot invalidate the
+    fine-pass answer while full cells at/inside d_k must veto it."""
+    from se3conv3d_tpu.core.neighborhoods import _grid_topk_neighbors
+
+    cell, cap = 0.1, 4
+    # corner anchor pins the grid origin to ~0 so cell boundaries sit at
+    # multiples of `cell`; one background point per cell center on an
+    # 8^3 lattice keeps every other cell below the build cap.
+    anchor = np.zeros((1, 3), np.float32)
+    ii = np.stack(
+        np.meshgrid(*([np.arange(8)] * 3), indexing="ij"), -1
+    ).reshape(-1, 3)
+    bg = (ii * cell + cell / 2).astype(np.float32)
+    # overfull cell (5, 4, 4): 6 > cap points jittered inside it
+    rng = np.random.default_rng(3)
+    cl = (
+        np.array([0.55, 0.45, 0.45], np.float32)
+        + rng.uniform(-0.03, 0.03, (6, 3)).astype(np.float32)
+    )
+    src = np.concatenate([anchor, bg, cl])
+    sp = jnp.asarray(src)
+    sm = jnp.ones((len(src),), bool)
+    qp = jnp.asarray(
+        np.array(
+            [
+                [0.25, 0.25, 0.25],  # window 1..3: no full cell -> inf
+                [0.45, 0.45, 0.45],  # full cell one over in x -> 0.05^2
+                [0.55, 0.45, 0.45],  # inside the full cell -> 0.0
+            ],
+            np.float32,
+        )
+    )
+    qm = jnp.ones((3,), bool)
+    res = _grid_topk_neighbors(
+        sp, sm, qp, qm, 4, None, cell, 3, 2048, cap
+    )
+    cap_md2 = np.asarray(res[3])
+    assert np.isinf(cap_md2[0])
+    assert cap_md2[1] == pytest.approx(0.05**2, abs=1e-5)
+    assert cap_md2[2] == pytest.approx(0.0, abs=1e-9)
+
+
 def test_bq_cell_cap_16_lossless_at_surface_density():
     """At surface density with radius ~ 2x spacing, per-cell occupancy
     stays well under 16, so the halved candidate volume changes nothing:
