@@ -15,6 +15,7 @@ import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 
+from _workload import surface_cloud
 from se3conv3d_tpu.core.frames import pca_frames, pca_frames_from_components
 from se3conv3d_tpu.core.grid import build_grid_subsample
 from se3conv3d_tpu.core.hierarchy import (
@@ -32,9 +33,10 @@ FCFG = FrameConfig(n_frames=1, pca=True, neigh_k=16, fixed_axis=2)
 @jax.jit
 def bench(seed):
     key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
-    pts = jax.random.uniform(key, (1, N, 3)) * 8.0
-    # surface-ish: flatten z to a wavy sheet like scan data
-    pts = pts.at[:, :, 2].multiply(0.15)
+    # surface workload at production density (spacing == the 0.1 hint):
+    # the kNN certificate / backfill lax.cond is data-dependent, so the
+    # distribution picks which branch gets measured (_workload.py).
+    pts = surface_cloud(key, N, spacing=0.1)
     mask = jnp.ones((1, N), bool)
 
     def step(c, _):

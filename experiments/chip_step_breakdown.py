@@ -7,6 +7,7 @@ import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 
+from _workload import surface_cloud
 from se3conv3d_tpu.core.hierarchy import FrameConfig, HierarchyConfig, build_hierarchy
 from se3conv3d_tpu.models import FPNSegUNet, get_model_spec
 from se3conv3d_tpu.train import Trainer, TrainSettings, make_optimizer
@@ -31,7 +32,10 @@ trainer = Trainer(
 def batch_of(key):
     k1, k2 = jax.random.split(key)
     return {
-        "positions": jax.random.uniform(k1, (1, N, 3)) * 8.0,
+        # surface at production density (see _workload.py): the kNN
+        # certificate / backfill lax.cond is data-dependent, and
+        # volumetric uniform data measures the wrong branch.
+        "positions": surface_cloud(k1, N, spacing=0.1),
         "mask": jnp.ones((1, N), bool),
         "features": jnp.ones((1, N, 3)),
         "labels": jax.random.randint(k2, (1, N), 0, 21),

@@ -208,11 +208,16 @@ def attach_frames(
         return pc.with_frames(frames)
 
     if cfg.neigh_method == "knn":
-        # want_positions: the search carries neighbor coordinates through
-        # its payload sorts, so the PCA below needs no M*K-row gather.
+        # want_positions=False: carrying neighbor coordinates through the
+        # search's payload sorts (the gather-free PCA path,
+        # ``pca_frames_from_components``) was measured SLOWER at ScanNet
+        # scale — 613 vs 487 ms for knn+PCA at 131k on chip (r3 session-E
+        # sweep): three extra [M, W*cap] payload columns through two
+        # variadic sorts cost more than the one M*K-row position gather
+        # they save.  The components path remains available (parity
+        # tested) for callers that already have ``neigh_pos``.
         neigh = knn_neighborhood(
             pc, pc, cfg.neigh_k, grid_cell_size=spacing,
-            want_positions=True,
         )
     elif cfg.neigh_method == "ball_query":
         neigh = ball_query_neighborhood(pc, pc, cfg.bq_radius, cfg.neigh_k)

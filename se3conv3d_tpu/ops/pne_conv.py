@@ -295,6 +295,10 @@ def equiv_basis_conv(
 # Overridable via SE3CONV_BWD_MODE for on-chip A/B runs.
 BWD_SCATTER_MODE = __import__("os").environ.get("SE3CONV_BWD_MODE", "scatter")
 
+# Merged geometry+feature gather for single-use neighborhoods (one row
+# gather instead of two).  Overridable for on-chip A/B runs.
+MERGE_GATHER = __import__("os").environ.get("SE3CONV_MERGE_GATHER", "1") != "0"
+
 # Query-axis chunk size of the fused conv's lax.scan (single Pallas calls
 # past ~48k queries fail to compile on this toolchain); shared so cached
 # backward-sort tables match the conv's chunk layout.
@@ -689,7 +693,7 @@ def fused_equiv_conv(
     )
 
     def chunk(ctr_c, fo_c, idx_c, mask_c, geo_c, sort_c):
-        if geo_c is None and sort_c is None:
+        if geo_c is None and sort_c is None and MERGE_GATHER:
             # single-use neighborhood: ONE merged row gather feeds both
             # the packed geometry and the kernel's features
             gf_geo, feat_g = _gather_geo_feats(
@@ -795,7 +799,7 @@ def fused_conv(
     # must stay f32 for the offset subtraction, and a mixed-dtype table
     # can't concat (the bf16 mode keeps separate gathers; its geometry
     # traffic is already halved by the dtype).
-    merge = geo_dt == pts_in.dtype
+    merge = geo_dt == pts_in.dtype and MERGE_GATHER
     feats_flat = feats4.reshape(b, feats4.shape[1], -1) if merge else None
 
     def chunk(ctr_c, idx_c, mask_c, sort_c):

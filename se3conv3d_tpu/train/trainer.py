@@ -88,10 +88,29 @@ class Trainer:
             self._jit_kwargs = dict(
                 in_shardings=(rep, sh, rep), out_shardings=None
             )
-        self._train_step = jax.jit(self._train_step_impl, **self._jit_kwargs)
-        self._eval_step = jax.jit(self._eval_step_impl, **self._jit_kwargs)
-        self._calib_step = jax.jit(self._calib_step_impl, **self._jit_kwargs)
-        self._init = jax.jit(self._init_impl)
+        # The current libtpu occasionally assigns a chunked conv's whole
+        # stacked lax.scan output (~17 MB at 32k queries x 128 channels)
+        # to scoped VMEM and then fails its own 16.5 MB default limit
+        # ("It should not be possible to run out of scoped vmem — please
+        # file a bug against XLA").  Raising the per-compile limit makes
+        # the placement legal; the tunnel's compile helper forwards
+        # proto-backed xla_* options (probed — bogus values fail the
+        # remote compile).  TPU-only: the CPU backend rejects the option.
+        copts = (
+            None
+            if jax.default_backend() == "cpu"
+            else {"xla_tpu_scoped_vmem_limit_kib": 32768}
+        )
+        self._train_step = jax.jit(
+            self._train_step_impl, compiler_options=copts, **self._jit_kwargs
+        )
+        self._eval_step = jax.jit(
+            self._eval_step_impl, compiler_options=copts, **self._jit_kwargs
+        )
+        self._calib_step = jax.jit(
+            self._calib_step_impl, compiler_options=copts, **self._jit_kwargs
+        )
+        self._init = jax.jit(self._init_impl, compiler_options=copts)
 
     # ------------------------------------------------------------------ init
     def _init_impl(self, rng: jax.Array, example_batch: dict) -> TrainState:
