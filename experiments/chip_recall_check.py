@@ -20,13 +20,18 @@ from se3conv3d_tpu.core.pointcloud import PointCloud
 N = int(os.environ.get("N", "40960"))
 K = 16
 SPACING = 0.1
+CAP = int(os.environ.get("CAP", "0"))  # 0 -> library default
+COARSE = int(os.environ.get("COARSE", "0"))  # 0 -> library default
 
 
 @jax.jit
 def both():
     pts = surface_cloud(jax.random.PRNGKey(11), N, SPACING)
     pc = PointCloud(positions=pts, mask=jnp.ones((1, N), bool))
-    grid = knn_neighborhood(pc, pc, K, grid_cell_size=SPACING)
+    kw = {"cell_cap": CAP} if CAP else {}
+    if COARSE:
+        kw["coarse_cell_cap"] = COARSE
+    grid = knn_neighborhood(pc, pc, K, grid_cell_size=SPACING, **kw)
     brute = knn_neighborhood(pc, pc, K)  # no hint -> brute path
     return grid.idx, grid.mask, brute.idx, brute.mask, pts
 

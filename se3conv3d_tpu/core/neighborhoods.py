@@ -183,7 +183,8 @@ def knn_neighborhood(
     k: int,
     chunk: int = _CHUNK,
     grid_cell_size: Optional[float] = None,
-    cell_cap: int = 32,
+    cell_cap: int = 16,
+    coarse_cell_cap: Optional[int] = None,
     table_size: Optional[int] = None,
     want_positions: bool = False,
 ) -> Neighborhood:
@@ -195,10 +196,17 @@ def knn_neighborhood(
     is given and the source cloud exceeds ``GRID_AUTO_THRESHOLD``, the
     grid-bucketed search runs instead (exact while the k-th neighbor lies
     within 2.5 grid cells — callers pass the subsample cell size).
-    ``cell_cap`` bounds points per hash cell; occupancy beyond it silently
-    drops candidates (recall loss) — check ``cell_overflow_fraction`` at
-    calibration time for unusually dense data and raise the cap
-    (tests/test_grid_recall.py quantifies both regimes).
+    ``cell_cap`` bounds points per hash cell in the FINE pass; the at-cap
+    certificate routes rows whose answer a full cell could change to the
+    coarse backfill, so a tight fine cap costs candidate volume, not
+    recall (cap 32 -> 16 measured 254 -> 184 ms at 131k,
+    experiments/chip_knn_cap.py).  The coarse 3x/9x cells cover 27x the
+    volume and need a wider cap — ``coarse_cell_cap`` (default
+    ``max(32, cell_cap)``) — or THEY silently drop candidates for exactly
+    the rows the fine pass could not prove (recall 0.9984 with a shared
+    cap of 16 vs 0.9990 at 16/32 at 131k, experiments/chip_recall_check.py);
+    check ``cell_overflow_fraction`` at calibration time for unusually
+    dense data (tests/test_grid_recall.py quantifies both regimes).
 
     ``want_positions`` additionally fills ``Neighborhood.neigh_pos``
     (``[B, 3, M, K]`` neighbor coordinates): the grid path carries them
@@ -328,12 +336,14 @@ def knn_neighborhood(
             src.positions, src.mask, query.positions, query.mask
         )
 
+        ccap = coarse_cell_cap if coarse_cell_cap else max(32, cell_cap)
+
         def coarse(sp, sm, qpos, qmask):
             out = []
             for scale in (3.0, 9.0):
                 res = _grid_topk_neighbors(
                     sp, sm, qpos, qmask, k, None, scale * cell, 3,
-                    h_size, cell_cap, want_pos=want_positions,
+                    h_size, ccap, want_pos=want_positions,
                 )
                 idx, ok, d2 = res[:3]
                 cpos = res[4] if want_positions else ()
