@@ -24,14 +24,15 @@ from se3conv3d_tpu.core.hierarchy import (
 from se3conv3d_tpu.core.neighborhoods import knn_neighborhood
 from se3conv3d_tpu.core.pointcloud import PointCloud
 
-PART = sys.argv[1] if len(sys.argv) > 1 else os.environ.get("PART", "hier")
+PARTS = (
+    sys.argv[1] if len(sys.argv) > 1 else os.environ.get("PART", "hier")
+).split(",")
 N = int(os.environ.get("N", "131072"))
 S = 4
 FCFG = FrameConfig(n_frames=1, pca=True, neigh_k=16, fixed_axis=2)
 
 
-@jax.jit
-def bench(seed):
+def _bench(PART, seed):
     key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
     # surface workload at production density (spacing == the 0.1 hint):
     # the kNN certificate / backfill lax.cond is data-dependent, so the
@@ -88,15 +89,18 @@ def bench(seed):
 
 
 if __name__ == "__main__":
-    s0 = int.from_bytes(os.urandom(4), "little") % (2**31)
-    t0 = time.perf_counter()
-    float(jax.device_get(bench(s0)))
-    tc = time.perf_counter() - t0
-    best = 1e9
-    for _ in range(2):
-        s1 = int.from_bytes(os.urandom(4), "little") % (2**31)
+    # one process, many parts: the ~110 s backend init amortises
+    for part in PARTS:
+        bench = jax.jit(lambda seed, p=part: _bench(p, seed))
+        s0 = int.from_bytes(os.urandom(4), "little") % (2**31)
         t0 = time.perf_counter()
-        float(jax.device_get(bench(s1)))
-        best = min(best, time.perf_counter() - t0)
-    print(f"{PART} N={N}: {best/S*1e3:8.2f} ms (compile {tc:.0f}s)",
-          flush=True)
+        float(jax.device_get(bench(s0)))
+        tc = time.perf_counter() - t0
+        best = 1e9
+        for _ in range(2):
+            s1 = int.from_bytes(os.urandom(4), "little") % (2**31)
+            t0 = time.perf_counter()
+            float(jax.device_get(bench(s1)))
+            best = min(best, time.perf_counter() - t0)
+        print(f"{part} N={N}: {best/S*1e3:8.2f} ms (compile {tc:.0f}s)",
+              flush=True)

@@ -1,12 +1,26 @@
-"""Time ALL the model's neighborhood builds (ScanNet scale) in one jit."""
-import dataclasses, os, sys, time
+"""Time the ScanNet model's FULL neighborhood request pattern in one jit.
+
+Issues exactly the provider requests FPNSegUNet makes (Encoder self +
+down, Decoder up, FPN laterals to level 0, seg head level 0 -> out
+cloud — see models/encoder.py:130-157, decoder.py:60-69,149-153,
+seg_unet.py:69-72), on a surface-density workload.  The hierarchy's
+frame attaches are kept live by consuming level + out frames, so this
+measures hierarchy + neighborhoods + cached equiv geometry: the whole
+pre-conv part of the step.  PART=hier skips the requests (baseline to
+subtract).
+
+Usage: [PART=all|hier] [N=131072] python experiments/chip_model_neighborhoods.py
+"""
+import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
+from _workload import surface_cloud
 from se3conv3d_tpu.core.hierarchy import FrameConfig, HierarchyConfig, build_hierarchy
 from se3conv3d_tpu.models import get_model_spec
 from se3conv3d_tpu.models.spec import NeighborhoodProvider
 
-N = 131072
+N = int(os.environ.get("N", "131072"))
+PART = os.environ.get("PART", "all")
 spec = get_model_spec("FPNSegUNetMLPGeluRotEqScanNet")
 caps = tuple(max(N // d, 64) for d in (1, 4, 16, 64, 256))
 hcfg = HierarchyConfig(init_cell_size=0.1, cell_sizes=(0.2, 0.4, 0.8, 1.6),
@@ -14,32 +28,60 @@ hcfg = HierarchyConfig(init_cell_size=0.1, cell_sizes=(0.2, 0.4, 0.8, 1.6),
     frames=FrameConfig(n_frames=1, pca=True, neigh_k=16, fixed_axis=2))
 S = 2
 
+
+def consume(nb):
+    tot = jnp.sum(nb.idx[:, :64])
+    if nb.equiv_geo_t is not None:
+        tot += jnp.sum(nb.equiv_geo_t[:, :, :64].astype(jnp.float32))
+    return tot
+
+
 @jax.jit
 def bench(seed):
     key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
-    pts = jax.random.uniform(key, (1, N, 3)) * 8.0
+    # surface at production density: volumetric uniform points take the
+    # wrong data-dependent branches (kNN backfill cond, BQ occupancy)
+    pts = surface_cloud(key, N, spacing=0.1)
     mask = jnp.ones((1, N), bool)
     feats = jnp.ones((1, N, 3))
+
     def step(c, _):
         h, f0, out_pc, _, _ = build_hierarchy(
             jax.random.fold_in(key, 1), pts * (1 + 1e-12 * c), mask, feats, hcfg)
+        # keep the frame attaches live (they feed the convs in the real
+        # step; without this XLA DCEs both 131k-point attaches)
+        tot = jnp.sum(out_pc.frames[:, :64].astype(jnp.float32))
+        for lev in h.levels:
+            tot += jnp.sum(lev.frames[:, :64].astype(jnp.float32))
+        if PART == "hier":
+            return c + tot, ()
         prov = NeighborhoodProvider(h, spec)
-        tot = jnp.zeros(())
-        # the Encoder/Decoder/head request pattern: same-level + down +
-        # up neighborhoods at every level, radius scaled per level
-        for lev in range(4):
-            r = spec.radius_scale * h.levels_radii[lev + 1]
-            nb = prov.get(lev + 1, lev + 1, r, spec.neigh_type, 16)
-            tot += jnp.sum(nb.idx[:, :64])
-            if nb.equiv_geo_t is not None:
-                tot += jnp.sum(nb.equiv_geo_t[:, :, :64].astype(jnp.float32))
-            nd = prov.get(lev, lev + 1, r, spec.neigh_type, 16)
-            tot += jnp.sum(nd.idx[:, :64])
-            if nd.equiv_geo_t is not None:
-                tot += jnp.sum(nd.equiv_geo_t[:, :, :64].astype(jnp.float32))
+        radii = h.levels_radii
+        L = len(spec.num_features)
+        for lvl in range(L):  # encoder self blocks
+            tot += consume(prov.get(
+                lvl, lvl, spec.radius_scale_blocks * radii[lvl],
+                spec.neigh_type, spec.num_knn_blocks))
+        for lvl in range(L - 1):  # encoder down convs
+            tot += consume(prov.get(
+                lvl, lvl + 1, spec.radius_scale * radii[lvl],
+                spec.neigh_type, spec.num_knn))
+        for lvl in range(L - 1, 0, -1):  # decoder up convs
+            tot += consume(prov.get(
+                lvl, lvl - 1, spec.radius_scale_dec * radii[lvl],
+                spec.neigh_type, spec.num_knn_dec))
+        for lvl in range(L - 1, 1, -1):  # FPN laterals (lvl=1 dedups w/ dec)
+            tot += consume(prov.get(
+                lvl, 0, spec.radius_scale_dec * radii[lvl],
+                spec.neigh_type, spec.num_knn_dec))
+        tot += consume(prov.to_cloud(  # seg head to out cloud
+            0, out_pc, spec.radius_scale * radii[0],
+            spec.neigh_type, spec.num_knn))
         return c + tot, ()
+
     c, _ = jax.lax.scan(step, jnp.zeros(()), None, length=S)
     return c
+
 
 s0 = int.from_bytes(os.urandom(4), "little") % (2**31)
 t0 = time.perf_counter(); float(jax.device_get(bench(s0))); tc = time.perf_counter()-t0
@@ -48,4 +90,5 @@ for _ in range(2):
     s1 = int.from_bytes(os.urandom(4), "little") % (2**31)
     t0 = time.perf_counter(); float(jax.device_get(bench(s1)))
     best = min(best, time.perf_counter() - t0)
-print(f"hierarchy+neighborhoods: {best/S*1e3:.0f} ms (compile {tc:.0f}s)", flush=True)
+print(f"{PART} (hier+requests) N={N}: {best/S*1e3:.0f} ms (compile {tc:.0f}s)",
+      flush=True)
