@@ -21,7 +21,9 @@ from se3conv3d_tpu.core.grid import build_grid_subsample
 from se3conv3d_tpu.core.hierarchy import (
     FrameConfig, HierarchyConfig, attach_frames, build_hierarchy,
 )
-from se3conv3d_tpu.core.neighborhoods import knn_neighborhood
+from se3conv3d_tpu.core.neighborhoods import (
+    SUBSAMPLED_SPACING_FACTOR, knn_neighborhood,
+)
 from se3conv3d_tpu.core.pointcloud import PointCloud
 
 PARTS = (
@@ -69,18 +71,34 @@ def _bench(PART, seed):
             out = attach_frames(jax.random.fold_in(key, 1), pc, FCFG,
                                 spacing=0.1)
             return c + jnp.sum(out.frames[:, :128].astype(jnp.float32)), ()
-        if PART == "hier":
+        if PART in ("attach0", "attachout"):
+            # attach on the cloud build_hierarchy actually attaches to:
+            # cell-centroid (level 0) resp. random-point-per-cell (out)
+            # subsample of the raw surface — the kNN certificate is
+            # data-dependent, so these may take different branches than
+            # the raw surface.
+            smap = build_grid_subsample(
+                pc, 0.1, rnd=PART == "attachout",
+                rng=jax.random.fold_in(key, 2), capacity=N)
+            sub = PointCloud(positions=smap.subsample(pc.positions, "avg"),
+                             mask=smap.out_mask)
+            out = attach_frames(
+                jax.random.fold_in(key, 1), sub, FCFG,
+                spacing=SUBSAMPLED_SPACING_FACTOR * 0.1)
+            return c + jnp.sum(out.frames[:, :128].astype(jnp.float32)), ()
+        if PART in ("hier", "hier_nf"):
             caps = tuple(max(N // d, 64) for d in (1, 4, 16, 64, 256))
             hcfg = HierarchyConfig(
                 init_cell_size=0.1, cell_sizes=(0.2, 0.4, 0.8, 1.6),
                 capacities=caps, out_cell_size=0.1, out_capacity=N,
-                frames=FCFG)
+                frames=None if PART == "hier_nf" else FCFG)
             h, f0, out_pc, _, _ = build_hierarchy(
                 jax.random.fold_in(key, 1), pc.positions, mask,
                 jnp.ones((1, N, 3)), hcfg)
-            tot = jnp.sum(out_pc.frames[:, :128].astype(jnp.float32))
+            live = lambda p: (p.positions if p.frames is None else p.frames)
+            tot = jnp.sum(live(out_pc)[:, :128].astype(jnp.float32))
             for lev in h.levels:
-                tot += jnp.sum(lev.frames[:, :64].astype(jnp.float32))
+                tot += jnp.sum(live(lev)[:, :64].astype(jnp.float32))
             return c + tot, ()
         raise ValueError(PART)
 

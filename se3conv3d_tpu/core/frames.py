@@ -68,6 +68,219 @@ def _orient_positive(eigvec: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(det[..., None, None] < 0, -eigvec, eigvec)
 
 
+# --- scalarized 3x3 eigenframe pipeline -------------------------------------
+#
+# TPU tiling pads a trailing dim of 3 to 128 lanes (and a trailing 3x3 to a
+# full 8x128 tile), so any op that materialises a ``[..., N, 3]`` or
+# ``[..., N, 3, 3]`` intermediate at hierarchy scale moves ~100x more HBM
+# bytes than the math needs — the eigh/sign-set chain below used to cost
+# ~330 ms of the 487 ms knn+PCA attach at 131k points on chip.  The whole
+# pipeline therefore runs on per-component SCALAR arrays (batch shape
+# ``[..., N]``, N on lanes): vectors are 3-tuples and matrices 3x3 nested
+# tuples of scalars, and the padded ``[..., S, 3, 3]`` output is assembled
+# exactly once at the end.  Same math and op order as the reference
+# (``RotationFunctions.py:265-406``) and as the array forms above/below.
+
+
+def _s_cross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _s_dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _s_where(c, a, b):
+    return tuple(jnp.where(c, x, y) for x, y in zip(a, b))
+
+
+def _s_normalize(v):
+    return tuple(x / jnp.sqrt(_s_dot(v, v)) for x in v)
+
+
+def _s_det_sym(xx, xy, xz, yy, yz, zz):
+    """Determinant of a symmetric 3x3 from its 6 scalar entries."""
+    return (
+        xx * (yy * zz - yz * yz)
+        - xy * (xy * zz - yz * xz)
+        + xz * (xy * yz - yy * xz)
+    )
+
+
+def _eigh3x3_scalars(sxx, sxy, sxz, syy, syz, szz):
+    """Closed-form symmetric eigh on 6 scalar entry arrays.
+
+    Returns ``((lam_min, lam_mid, lam_max), V)`` with ``V[i][j]`` the i-th
+    component of the j-th eigenvector (columns, eigenvalues ascending) —
+    the same Cardano + cross-product construction as :func:`eigh3x3`.
+    """
+    scale = jnp.abs(sxx)
+    for e in (sxy, sxz, syy, syz, szz):
+        scale = jnp.maximum(scale, jnp.abs(e))
+    scale = jnp.maximum(scale, 1e-30)
+    bxx, bxy, bxz = sxx / scale, sxy / scale, sxz / scale
+    byy, byz, bzz = syy / scale, syz / scale, szz / scale
+
+    q = (bxx + byy + bzz) / 3.0
+    cxx, cyy, czz = bxx - q, byy - q, bzz - q
+    p2 = (
+        cxx * cxx + cyy * cyy + czz * czz
+        + 2.0 * (bxy * bxy + bxz * bxz + byz * byz)
+    ) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 0.0))
+    safe_p = jnp.maximum(p, 1e-30)
+    detc = _s_det_sym(
+        cxx / safe_p, bxy / safe_p, bxz / safe_p,
+        cyy / safe_p, byz / safe_p, czz / safe_p,
+    )
+    r = jnp.clip(detc / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+
+    lam_max = q + 2.0 * p * jnp.cos(phi)
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lam_mid = 3.0 * q - lam_max - lam_min
+
+    one = jnp.ones_like(bxx)
+    zero = jnp.zeros_like(bxx)
+
+    def eigvec_for(lmbda):
+        r0 = (bxx - lmbda, bxy, bxz)
+        r1 = (bxy, byy - lmbda, byz)
+        r2 = (bxz, byz, bzz - lmbda)
+        c01, c02, c12 = _s_cross(r0, r1), _s_cross(r0, r2), _s_cross(r1, r2)
+        n01, n02, n12 = _s_dot(c01, c01), _s_dot(c02, c02), _s_dot(c12, c12)
+        v = _s_where(n01 >= n02, c01, c02)
+        nv = jnp.maximum(n01, n02)
+        v = _s_where(n12 > nv, c12, v)
+        nv = jnp.maximum(nv, n12)
+        # Degenerate: rank <= 1 -> any null-plane vector works; fixed axis,
+        # made orthogonal by the completion below.
+        v = _s_where(nv > 1e-24, v, (one, zero, zero))
+        return _s_normalize(v)
+
+    v_min = eigvec_for(lam_min)
+    v_max = eigvec_for(lam_max)
+    # Orthonormal completion (guards repeated eigenvalues).
+    v_mid = _s_cross(v_max, v_min)
+    n_mid = jnp.sqrt(_s_dot(v_mid, v_mid))
+    # cross(v_max, e_y) resp. cross(v_max, e_x), written out.
+    alt = (-v_max[2], zero, v_max[0])
+    alt = _s_where(
+        jnp.sqrt(_s_dot(alt, alt)) > 1e-12,
+        alt,
+        (zero, v_max[2], -v_max[1]),
+    )
+    v_mid = _s_where(n_mid > 1e-12, v_mid, alt)
+    v_mid = _s_normalize(v_mid)
+    v_min = _s_normalize(_s_cross(v_mid, v_max))
+
+    lam = (lam_min * scale, lam_mid * scale, lam_max * scale)
+    cols = (v_min, v_mid, v_max)
+    v = tuple(tuple(cols[j][i] for j in range(3)) for i in range(3))
+    return lam, v
+
+
+def _frames_from_cov_scalars(
+    sxx, sxy, sxz, syy, syz, szz, fixed_axis, select_idx=None
+):
+    """Scalarized eigh + sign-set tail: 6 cov entries -> ``[..., S, 3, 3]``.
+
+    All selection/sign logic runs on ``[...]``-shaped scalars; one
+    ``jnp.stack`` assembles the padded output.  ``select_idx`` ``[..., F]``
+    (optional) fuses the per-point frame selection of
+    :func:`shuffle_and_select_frames` into the assembly.
+    """
+    _, v = _eigh3x3_scalars(sxx, sxy, sxz, syy, syz, szz)
+
+    def orient_positive(m):
+        # Negate the whole matrix when det < 0 (reference
+        # ``RotationFunctions.py:341-342``) — after any column reorder,
+        # since reversing 3 columns negates the determinant.
+        det = (
+            m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+            - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+            + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+        )
+        neg = det < 0
+        return tuple(
+            tuple(jnp.where(neg, -m[i][j], m[i][j]) for j in range(3))
+            for i in range(3)
+        )
+
+    if is_fixed_axis(fixed_axis):
+        axis = int(fixed_axis)
+        # Descending eigenvalue order = reversed columns (flip first, THEN
+        # orient: the reversal itself negates the determinant).
+        vd = tuple(tuple(v[i][2 - j] for j in range(3)) for i in range(3))
+        vd = orient_positive(vd)
+        # The null-space eigenvector (last column after the flip) is +-the
+        # fixed world axis; eigensolver sign conventions differ, but SO(2)
+        # frames must PRESERVE the up-vector, so canonicalise it to +axis
+        # (flipping one in-plane column too keeps det = +1).  The fixed
+        # sign set never touches the last column, so without this the
+        # emitted frame set would depend on the solver.
+        s = jnp.sign(vd[axis][2])
+        s = jnp.where(s == 0, 1.0, s)
+        vd = tuple(
+            (vd[i][0] * s, vd[i][1], vd[i][2] * s) for i in range(3)
+        )
+        perm = _FIXED_AXIS_COLUMN_PERM[axis]
+        frames = []
+        for ss in FIXED_SIGN_SETS:
+            f = tuple(
+                tuple(vd[i][perm[j]] * float(ss[perm[j]]) for j in range(3))
+                for i in range(3)
+            )
+            frames.append(f)
+        snap = lambda x: jnp.where(jnp.abs(x) < _SNAP_EPS, 0.0, x)
+        frames = [
+            tuple(tuple(snap(e) for e in row) for row in f) for f in frames
+        ]
+    else:
+        v = orient_positive(v)
+        frames = [
+            tuple(
+                tuple(v[i][j] * float(ss[j]) for j in range(3))
+                for i in range(3)
+            )
+            for ss in FREE_SIGN_SETS
+        ]
+
+    if select_idx is not None:
+        # Fused shuffle_and_select: pick n_frames of the S candidates per
+        # point BEFORE assembly, so the padded [..., S, 3, 3] tensor (and
+        # the row gather over it) never materialises.  ``select_idx``
+        # [..., F] holds candidate indices; selection is a scalar
+        # where-chain per component.
+        picked = []
+        for f in range(select_idx.shape[-1]):
+            sel = select_idx[..., f]
+            comp = [[frames[0][i][j] for j in range(3)] for i in range(3)]
+            for s in range(1, len(frames)):
+                hit = sel == s
+                for i in range(3):
+                    for j in range(3):
+                        comp[i][j] = jnp.where(
+                            hit, frames[s][i][j], comp[i][j]
+                        )
+            picked.append(comp)
+        frames = picked
+
+    return jnp.stack(
+        [
+            jnp.stack(
+                [jnp.stack(row, axis=-1) for row in f], axis=-2
+            )
+            for f in frames
+        ],
+        axis=-3,
+    )  # [..., S, 3, 3] (or [..., F, 3, 3] under select_idx)
+
+
 def eigh3x3(cov: jnp.ndarray):
     """Closed-form symmetric 3x3 eigendecomposition (batched, VPU-only).
 
@@ -82,64 +295,14 @@ def eigh3x3(cov: jnp.ndarray):
     ``stop_gradient`` anyway (like the reference's ``torch.no_grad()``).
     """
     a = 0.5 * (cov + jnp.swapaxes(cov, -1, -2))
-    scale = jnp.maximum(jnp.max(jnp.abs(a), axis=(-2, -1), keepdims=True), 1e-30)
-    b = a / scale
-
-    q = jnp.trace(b, axis1=-2, axis2=-1)[..., None, None] / 3.0
-    c = b - q * jnp.eye(3, dtype=b.dtype)
-    p2 = jnp.sum(c * c, axis=(-2, -1), keepdims=True) / 6.0
-    p = jnp.sqrt(jnp.maximum(p2, 0.0))
-    safe_p = jnp.maximum(p, 1e-30)
-    detc = jnp.linalg.det(c / safe_p)[..., None, None]
-    r = jnp.clip(detc / 2.0, -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
-
-    lam_max = q + 2.0 * p * jnp.cos(phi)
-    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
-    lam_mid = 3.0 * q - lam_max - lam_min
-    lam = jnp.concatenate(
-        [lam_min[..., 0], lam_mid[..., 0], lam_max[..., 0]], axis=-1
-    )  # [..., 3] ascending
-
-    def eigvec_for(lmbda):
-        m = b - lmbda[..., None, None] * jnp.eye(3, dtype=b.dtype)
-        r0, r1, r2 = m[..., 0, :], m[..., 1, :], m[..., 2, :]
-        c01 = jnp.cross(r0, r1)
-        c02 = jnp.cross(r0, r2)
-        c12 = jnp.cross(r1, r2)
-        n01 = jnp.sum(c01 * c01, axis=-1, keepdims=True)
-        n02 = jnp.sum(c02 * c02, axis=-1, keepdims=True)
-        n12 = jnp.sum(c12 * c12, axis=-1, keepdims=True)
-        v = jnp.where(n01 >= n02, c01, c02)
-        nv = jnp.maximum(n01, n02)
-        v = jnp.where(n12 > nv, c12, v)
-        nv = jnp.maximum(nv, n12)
-        # Degenerate: (b - lambda I) has rank <= 1 -> any vector in the
-        # null plane works; fall back to a fixed axis made orthogonal
-        # below.
-        v = jnp.where(nv > 1e-24, v, jnp.array([1.0, 0.0, 0.0], b.dtype))
-        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
-
-    v_min = eigvec_for(lam[..., 0])
-    v_max = eigvec_for(lam[..., 2])
-    # Orthonormal completion: guards repeated eigenvalues (v_min/v_max from
-    # degenerate subspaces may not be orthogonal).
-    v_mid = jnp.cross(v_max, v_min)
-    n_mid = jnp.linalg.norm(v_mid, axis=-1, keepdims=True)
-    # If v_min ~ v_max (fully degenerate), build an arbitrary orthobasis.
-    alt = jnp.cross(v_max, jnp.array([0.0, 1.0, 0.0], b.dtype))
-    alt = jnp.where(
-        jnp.linalg.norm(alt, axis=-1, keepdims=True) > 1e-12,
-        alt,
-        jnp.cross(v_max, jnp.array([1.0, 0.0, 0.0], b.dtype)),
+    lam, v = _eigh3x3_scalars(
+        a[..., 0, 0], a[..., 0, 1], a[..., 0, 2],
+        a[..., 1, 1], a[..., 1, 2], a[..., 2, 2],
     )
-    v_mid = jnp.where(n_mid > 1e-12, v_mid, alt)
-    v_mid = v_mid / jnp.linalg.norm(v_mid, axis=-1, keepdims=True)
-    v_min = jnp.cross(v_mid, v_max)
-    v_min = v_min / jnp.linalg.norm(v_min, axis=-1, keepdims=True)
-
-    eigvec = jnp.stack([v_min, v_mid, v_max], axis=-1)  # columns, ascending
-    return lam * scale[..., 0], eigvec
+    eigvec = jnp.stack(
+        [jnp.stack(row, axis=-1) for row in v], axis=-2
+    )  # columns, ascending
+    return jnp.stack(lam, axis=-1), eigvec
 
 
 def _eigh_frames(cov: jnp.ndarray) -> jnp.ndarray:
@@ -162,6 +325,7 @@ def pca_frames(
     neigh_idx: jnp.ndarray,
     neigh_mask: jnp.ndarray,
     fixed_axis: Union[bool, int, None] = False,
+    select_idx: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Per-point PCA reference frames from a padded kNN neighborhood.
 
@@ -180,22 +344,14 @@ def pca_frames(
     """
     gathered = jnp.take_along_axis(
         positions[..., None, :], neigh_idx[..., None], axis=-3
-    )  # [..., N, K, 3]
-    center = positions[..., :, None, :]
-    neigh_pts = jnp.where(neigh_mask[..., None], gathered, center)
-
-    if is_fixed_axis(fixed_axis):
-        axis = int(fixed_axis)
-        if axis == 0:
-            raise ValueError(
-                "fixed_axis=0 is unreachable in the reference (falsy check); "
-                "use False for free frames"
-            )
-        neigh_pts = neigh_pts.at[..., axis].set(0.0)
-
-    centered = neigh_pts - jnp.mean(neigh_pts, axis=-2, keepdims=True)
-    cov = jnp.einsum("...kd,...ke->...de", centered, centered)
-    return _frames_from_cov(cov, fixed_axis)
+    )  # [..., N, K, 3] — one fat-row gather (pad-to-128 makes 3-col rows
+    # cost the same as wider ones); everything downstream runs
+    # component-major so the padded [..., K, 3] layout is read exactly once.
+    neigh_pos = jnp.moveaxis(gathered, -1, -3)  # [..., 3, N, K]
+    return pca_frames_from_components(
+        positions, neigh_pos, neigh_mask, fixed_axis=fixed_axis,
+        select_idx=select_idx,
+    )
 
 
 def pca_frames_from_components(
@@ -203,6 +359,7 @@ def pca_frames_from_components(
     neigh_pos: jnp.ndarray,
     neigh_mask: jnp.ndarray,
     fixed_axis: Union[bool, int, None] = False,
+    select_idx: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """:func:`pca_frames` from pre-fetched neighbor coordinates.
 
@@ -240,45 +397,17 @@ def pca_frames_from_components(
             )
         )
     centered = [p - jnp.mean(p, axis=-1, keepdims=True) for p in comps]
-    entries = [
-        [jnp.sum(centered[i] * centered[j], axis=-1) for j in range(3)]
-        for i in range(3)
-    ]
-    cov = jnp.stack(
-        [jnp.stack(row, axis=-1) for row in entries], axis=-2
-    )  # [..., N, 3, 3]
-    return _frames_from_cov(cov, fixed_axis)
-
-
-def _frames_from_cov(
-    cov: jnp.ndarray, fixed_axis: Union[bool, int, None]
-) -> jnp.ndarray:
-    """Shared eigendecomposition + sign-set tail of the PCA frame paths."""
-    eigvec = _eigh_frames(cov)
-
-    if is_fixed_axis(fixed_axis):
-        axis = int(fixed_axis)
-        eigvec = jnp.flip(eigvec, axis=-1)  # descending eigenvalue order
-        eigvec = _orient_positive(eigvec)
-        # The null-space eigenvector (last column after the flip) is +-the
-        # fixed world axis; eigensolver sign conventions differ, but SO(2)
-        # frames must PRESERVE the up-vector, so canonicalise it to +axis
-        # (flipping one in-plane column too keeps det = +1).  The fixed
-        # sign set below never touches the last column, so without this
-        # the emitted frame set would depend on the solver.
-        s = jnp.sign(eigvec[..., axis, 2])
-        s = jnp.where(s == 0, 1.0, s)
-        eigvec = eigvec * jnp.stack(
-            [s, jnp.ones_like(s), s], axis=-1
-        )[..., None, :]
-        frames = _expand_sign_sets(eigvec, FIXED_SIGN_SETS)
-        perm = _FIXED_AXIS_COLUMN_PERM[axis]
-        frames = frames[..., :, perm]
-        frames = jnp.where(jnp.abs(frames) < _SNAP_EPS, 0.0, frames)
-        return frames
-
-    eigvec = _orient_positive(eigvec)
-    return _expand_sign_sets(eigvec, FREE_SIGN_SETS)
+    x, y, z = centered
+    return _frames_from_cov_scalars(
+        jnp.sum(x * x, axis=-1),
+        jnp.sum(x * y, axis=-1),
+        jnp.sum(x * z, axis=-1),
+        jnp.sum(y * y, axis=-1),
+        jnp.sum(y * z, axis=-1),
+        jnp.sum(z * z, axis=-1),
+        fixed_axis,
+        select_idx=select_idx,
+    )
 
 
 def global_pca_frames(positions: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

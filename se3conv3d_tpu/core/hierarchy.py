@@ -32,13 +32,18 @@ from flax import struct
 
 from .frames import (
     global_pca_frames,
+    is_fixed_axis,
     pca_frames,
     pca_frames_from_components,
     random_frames,
     shuffle_and_select_frames,
 )
 from .grid import SubsampleMap, build_grid_subsample
-from .neighborhoods import ball_query_neighborhood, knn_neighborhood
+from .neighborhoods import (
+    SUBSAMPLED_SPACING_FACTOR,
+    ball_query_neighborhood,
+    knn_neighborhood,
+)
 from .pointcloud import PointCloud
 
 __all__ = [
@@ -224,22 +229,29 @@ def attach_frames(
     else:
         raise ValueError(f"unknown frame neigh_method {cfg.neigh_method!r}")
 
-    if neigh.neigh_pos is not None:
-        candidates = pca_frames_from_components(
-            pc.positions, neigh.neigh_pos, neigh.mask,
-            fixed_axis=cfg.fixed_axis,
-        )  # [B, N, S, 3, 3]
-    else:
-        candidates = pca_frames(
-            pc.positions, neigh.idx, neigh.mask, fixed_axis=cfg.fixed_axis
-        )  # [B, N, S, 3, 3]
-    n_candidates = candidates.shape[2]
+    # Fused selection: draw the same per-point permutation as
+    # ``shuffle_and_select_frames`` (identical key/shape -> identical
+    # choice) and let the scalarized PCA pipeline assemble only the
+    # ``n_frames`` selected frames — the ``[B, N, S, 3, 3]`` candidate
+    # tensor (padded 3x3 -> 8x128 tiles on TPU) never materialises.
+    n_candidates = 2 if is_fixed_axis(cfg.fixed_axis) else 4
     if cfg.n_frames > n_candidates:
         raise ValueError(
             f"n_frames={cfg.n_frames} exceeds the {n_candidates} candidate "
             f"frames of this fixed_axis setting"
         )
-    frames = shuffle_and_select_frames(key, candidates, cfg.n_frames)
+    scores = jax.random.uniform(key, (b, n, n_candidates))
+    perm = jnp.argsort(scores, axis=-1)[..., : cfg.n_frames]
+    if neigh.neigh_pos is not None:
+        frames = pca_frames_from_components(
+            pc.positions, neigh.neigh_pos, neigh.mask,
+            fixed_axis=cfg.fixed_axis, select_idx=perm,
+        )  # [B, N, F, 3, 3]
+    else:
+        frames = pca_frames(
+            pc.positions, neigh.idx, neigh.mask, fixed_axis=cfg.fixed_axis,
+            select_idx=perm,
+        )  # [B, N, F, 3, 3]
     return pc.with_frames(frames)
 
 
@@ -292,7 +304,11 @@ def build_hierarchy(
     pc = level0
     if config.frames is not None:
         pc = attach_frames(
-            keys[k_i], pc, config.frames, spacing=config.init_cell_size
+            keys[k_i], pc, config.frames,
+            # a grid subsample at cell c has representative spacing ~1.3c;
+            # hinting the raw cell size trips the kNN's full-coarse
+            # fallback (SUBSAMPLED_SPACING_FACTOR)
+            spacing=SUBSAMPLED_SPACING_FACTOR * config.init_cell_size,
         )
     k_i += 1
     levels.append(pc)
@@ -308,7 +324,10 @@ def build_hierarchy(
             positions=smap.subsample(pc.positions, "avg"), mask=smap.out_mask
         )
         if config.frames is not None:
-            nxt = attach_frames(keys[k_i], nxt, config.frames, spacing=cell)
+            nxt = attach_frames(
+                keys[k_i], nxt, config.frames,
+                spacing=SUBSAMPLED_SPACING_FACTOR * cell,
+            )
         k_i += 1
         levels.append(nxt)
         maps.append(smap)
@@ -340,7 +359,12 @@ def build_hierarchy(
     if config.frames is not None:
         out_pc = attach_frames(
             keys[k_i], out_pc, config.frames,
-            spacing=config.out_cell_size or config.init_cell_size,
+            # out_cell_size=None means the RAW cloud is the output
+            # (classification); its spacing is unknown but those clouds
+            # are small enough for the brute-force path, so the hint
+            # only matters for the subsampled (out_cell_size) case.
+            spacing=SUBSAMPLED_SPACING_FACTOR
+            * (config.out_cell_size or config.init_cell_size),
         )
 
     return hierarchy, level0_features, out_pc, out_labels, raw_to_out

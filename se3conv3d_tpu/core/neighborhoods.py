@@ -61,6 +61,17 @@ def grid_knn_cell_size(spacing: float, k: int) -> float:
 # ~26 s/pass at 131k points, where the grid path takes milliseconds).
 GRID_AUTO_THRESHOLD = 32768
 
+# Effective point spacing of a grid subsample at cell size c is ~1.3c, not
+# c: one representative per occupied cell sits ~[c, c*sqrt(3)] from its
+# occupied neighbors.  Passing the raw cell size as the kNN spacing hint
+# under-sizes the fine pass, FAILS the exactness certificate for most
+# rows, and trips the full-coarse-pass lax.cond fallback — measured 423
+# vs 195 ms for a 131k frames attach on a cell-centroid vs raw-surface
+# cloud (experiments/chip_hier_parts.py attach0/attach, r3 session G).
+# Callers hinting with a subsample cell size must scale by this factor
+# (build_hierarchy and NeighborhoodProvider do).
+SUBSAMPLED_SPACING_FACTOR = 1.3
+
 
 class Neighborhood(struct.PyTreeNode):
     """Padded neighbor table from a source cloud to query (center) points.

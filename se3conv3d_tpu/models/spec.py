@@ -19,6 +19,7 @@ from typing import Dict, Optional, Tuple
 
 from ..core.hierarchy import Hierarchy
 from ..core.neighborhoods import (
+    SUBSAMPLED_SPACING_FACTOR,
     Neighborhood,
     ball_query_neighborhood,
     knn_neighborhood,
@@ -139,7 +140,15 @@ class NeighborhoodProvider:
                 cell_cap=self.spec.bq_cell_cap,
             )
         elif neigh_type == "knn":
-            neigh = knn_neighborhood(src_pc, dst_pc, k, grid_cell_size=spacing)
+            # ``spacing`` is the source level's subsample cell size; its
+            # clouds' true representative spacing is ~1.3x that
+            # (core.neighborhoods.SUBSAMPLED_SPACING_FACTOR — raw cell
+            # hints trip the kNN's full-coarse fallback).
+            neigh = knn_neighborhood(
+                src_pc, dst_pc, k,
+                grid_cell_size=None if spacing is None
+                else SUBSAMPLED_SPACING_FACTOR * spacing,
+            )
         else:
             raise ValueError(f"unknown neighborhood type {neigh_type!r}")
         return self._attach_equiv_geometry(neigh, src_pc, dst_pc, multi_use)
