@@ -29,21 +29,35 @@ SPACING = 0.1
 
 
 def workload(name, key):
+    ones = jnp.ones((1, N), bool)
     if name == "surface":
-        return surface_cloud(key, N, SPACING)
+        return surface_cloud(key, N, SPACING), ones
+    if name in ("centroid", "rndcell"):
+        # what build_hierarchy actually attaches to: grid subsample of
+        # the raw surface (cell centroid resp. random point per cell)
+        from se3conv3d_tpu.core.grid import build_grid_subsample
+        raw = PointCloud(
+            positions=surface_cloud(key, N, SPACING), mask=ones)
+        smap = build_grid_subsample(
+            raw, SPACING, rnd=name == "rndcell",
+            rng=jax.random.fold_in(key, 3), capacity=N)
+        return smap.subsample(raw.positions, "avg"), smap.out_mask
     pts = jax.random.uniform(key, (1, N, 3)) * 8.0
-    return pts.at[:, :, 2].multiply(0.15)
+    return pts.at[:, :, 2].multiply(0.15), ones
 
 
-@jax.jit
-def flagged_stats(pts):
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=2)
+def flagged_stats(pts, mask, hint):
     """Replicate the fine pass + certificate; return flagged count and
-    certificate-part counts."""
+    certificate-part counts (valid rows only)."""
     sp, qp = pts[0], pts[0]
-    sm = jnp.ones((N,), bool)
-    cell = grid_knn_cell_size(SPACING, K)
+    sm = mask[0]
+    cell = grid_knn_cell_size(hint, K)
     h_size = max(1 << (N - 1).bit_length(), 1024)
-    res = _grid_topk_neighbors(sp, sm, qp, sm, K, None, cell, 3, h_size, 32)
+    res = _grid_topk_neighbors(sp, sm, qp, sm, K, None, cell, 3, h_size, 16)
     idx1, ok1, d21, cap_md2 = res[:4]
     origin, dims = _grid_geometry(sp, sm, cell)
     qcell = jnp.floor((qp - origin) / cell).astype(jnp.int32)
@@ -58,19 +72,19 @@ def flagged_stats(pts):
     fits = d21[:, -1] <= cov * cov
     no_cap = ~(cap_md2 < d21[:, -1])
     exact = have_k & fits & no_cap
+    v = sm
     return (
-        jnp.sum(~exact), jnp.sum(~have_k), jnp.sum(have_k & ~fits),
-        jnp.sum(have_k & fits & ~no_cap),
+        jnp.sum(~exact & v), jnp.sum(~have_k & v),
+        jnp.sum(have_k & ~fits & v), jnp.sum(have_k & fits & ~no_cap & v),
+        jnp.sum(v),
     )
 
 
-@jax.jit
-def knn_time(seed, pts):
-    mask = jnp.ones((1, N), bool)
-
+@partial(jax.jit, static_argnums=3)
+def knn_time(seed, pts, mask, hint):
     def step(c, _):
         pc = PointCloud(positions=pts * (1 + 1e-12 * c), mask=mask)
-        out = knn_neighborhood(pc, pc, K, grid_cell_size=SPACING)
+        out = knn_neighborhood(pc, pc, K, grid_cell_size=hint)
         return c + jnp.sum(out.idx[:, :128].astype(jnp.float32)), ()
 
     c, _ = jax.lax.scan(step, jnp.zeros(()) + seed * 0.0, None, length=4)
@@ -78,23 +92,29 @@ def knn_time(seed, pts):
 
 
 if __name__ == "__main__":
+    from se3conv3d_tpu.core.neighborhoods import SUBSAMPLED_SPACING_FACTOR
     cap_b = min(N, max(4096, N // 4))
-    for name in ("surface", "volumetric"):
+    names = os.environ.get(
+        "W", "surface,centroid,rndcell,volumetric").split(",")
+    for name in names:
         key = jax.random.PRNGKey(7)
-        pts = workload(name, key)
-        nf, miss_k, miss_cov, miss_cap = (
-            int(x) for x in jax.device_get(flagged_stats(pts))
+        pts, mask = workload(name, key)
+        hint = (SPACING * SUBSAMPLED_SPACING_FACTOR
+                if name in ("centroid", "rndcell") else SPACING)
+        nf, miss_k, miss_cov, miss_cap, nv = (
+            int(x) for x in jax.device_get(flagged_stats(pts, mask, hint))
         )
         t0 = time.perf_counter()
-        float(jax.device_get(knn_time(0, pts)))
+        float(jax.device_get(knn_time(0, pts, mask, hint)))
         tc = time.perf_counter() - t0
         best = 1e9
         for s in (1, 2):
             t0 = time.perf_counter()
-            float(jax.device_get(knn_time(s, pts)))
+            float(jax.device_get(knn_time(s, pts, mask, hint)))
             best = min(best, time.perf_counter() - t0)
         print(
-            f"{name}: flagged {nf}/{N} ({100*nf/N:.1f}%) cap_b={cap_b} "
+            f"{name}: flagged {nf}/{nv} ({100*nf/max(nv,1):.1f}%) "
+            f"cap_b={cap_b} "
             f"[<k: {miss_k}, cov: {miss_cov}, cap: {miss_cap}] "
             f"knn {best/4*1e3:.1f} ms (compile {tc:.0f}s)",
             flush=True,

@@ -16,9 +16,12 @@ model = FPNSegUNet(spec, num_in_feats=3, num_classes=21)
 trainer = Trainer(model, hcfg, make_optimizer(max_lr=1e-3, total_steps=100),
     TrainSettings(label_smoothing=0.2, task="segmentation"))
 
+from _workload import surface_cloud
+
+
 def batch_of(key):
     k1, k2 = jax.random.split(key)
-    return {"positions": jax.random.uniform(k1, (1, N, 3)) * 8.0,
+    return {"positions": surface_cloud(k1, N, spacing=0.1),
             "mask": jnp.ones((1, N), bool),
             "features": jnp.ones((1, N, 3)),
             "labels": jax.random.randint(k2, (1, N), 0, 21)}
