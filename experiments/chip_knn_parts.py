@@ -16,8 +16,8 @@ import jax, jax.numpy as jnp
 
 from _workload import surface_cloud
 from se3conv3d_tpu.core.neighborhoods import (
-    SUBSAMPLED_SPACING_FACTOR, _grid_topk_neighbors, grid_knn_cell_size,
-    knn_neighborhood,
+    SUBSAMPLED_SPACING_FACTOR, _grid_topk_neighbors,
+    _grid_topk_neighbors_w2, grid_knn_cell_size, knn_neighborhood,
 )
 from se3conv3d_tpu.core.pointcloud import PointCloud
 
@@ -69,14 +69,59 @@ def _bench(PART, seed):
             idx, ok, d2, _ = _grid_topk_neighbors(
                 p, m, qp, m[:cap_b], K, None, 3.0 * CELL, 3, h_size, 32)[:4]
             return c + jnp.sum(idx[:, :K].astype(jnp.float32)), ()
+        if PART.startswith("finew2_"):
+            # 2x2x2 window at coverage = the fine cell: 8 fat rows vs 27.
+            # Session D's retry used volume-scaled caps (288) sized for
+            # the pre-hint-fix cells; the corrected 1.3x hint means
+            # ~24 surface points per 2*coverage cell — try tight caps.
+            cap = int(PART.split("_")[1])
+            idx, ok, d2, cap_md2 = _grid_topk_neighbors_w2(
+                p, m, p, m, K, None, CELL, h_size, cap)[:4]
+            return c + jnp.sum(idx[:, :K].astype(jnp.float32)), ()
         raise ValueError(PART)
 
     c, _ = jax.lax.scan(step, jnp.zeros(()), None, length=S)
     return c
 
 
+def _flagw2_stats(cap):
+    """Certification rate of a w2 fine pass on the centroid workload."""
+    from se3conv3d_tpu.core.grid import build_grid_subsample
+    from se3conv3d_tpu.core.neighborhoods import _grid_geometry
+
+    @jax.jit
+    def stats(key):
+        raw = PointCloud(
+            positions=surface_cloud(key, N, spacing=0.1),
+            mask=jnp.ones((1, N), bool))
+        smap = build_grid_subsample(raw, 0.1, capacity=N)
+        p = smap.subsample(raw.positions, "avg")[0]
+        m = smap.out_mask[0]
+        h_size = max(1 << (N - 1).bit_length(), 1024)
+        idx, ok, d2, cap_md2 = _grid_topk_neighbors_w2(
+            p, m, p, m, K, None, CELL, h_size, cap)[:4]
+        s = 2.0 * CELL
+        origin, dims = _grid_geometry(p, m, s)
+        lo = jnp.floor((p - CELL - origin) / s).astype(jnp.int32)
+        inf = jnp.asarray(jnp.inf, p.dtype)
+        cov_lo = jnp.where(lo >= 0, p - (origin + lo * s), inf)
+        cov_hi = jnp.where(
+            lo + 1 <= dims[None, :] - 1, origin + (lo + 2) * s - p, inf)
+        cov = jnp.min(jnp.minimum(cov_lo, cov_hi), axis=-1)
+        cnt = jnp.sum(ok, axis=1)
+        exact = (cnt >= K) & (d2[:, -1] <= cov * cov) & ~(cap_md2 < d2[:, -1])
+        return jnp.sum(~exact & m), jnp.sum(m)
+
+    nf, nv = (int(x) for x in jax.device_get(stats(jax.random.PRNGKey(7))))
+    print(f"flagw2_{cap} N={N}: flagged {nf}/{nv} ({100*nf/max(nv,1):.1f}%)",
+          flush=True)
+
+
 if __name__ == "__main__":
     for part in PARTS:
+        if part.startswith("flagw2_"):
+            _flagw2_stats(int(part.split("_")[1]))
+            continue
         bench = jax.jit(lambda seed, p=part: _bench(p, seed))
         s0 = int.from_bytes(os.urandom(4), "little") % (2**31)
         t0 = time.perf_counter()

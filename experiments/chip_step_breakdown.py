@@ -16,7 +16,12 @@ PART = os.environ.get("PART", "hierarchy")
 N = int(os.environ.get("N", "131072"))
 S = 4
 
-spec = get_model_spec("FPNSegUNetMLPGeluRotEqScanNet")
+spec = get_model_spec(
+    "FPNSegUNetMLPGeluRotEqScanNet",
+    # K-sweep knob: the static ball-query cap is TPU-specific (the
+    # reference keeps everything in radius); conv rows scale with it.
+    max_neighbors=int(os.environ.get("MAXN", "32")),
+)
 caps = tuple(max(N // d, 64) for d in (1, 4, 16, 64, 256))
 hcfg = HierarchyConfig(
     init_cell_size=0.1, cell_sizes=(0.2, 0.4, 0.8, 1.6),

@@ -61,6 +61,11 @@ def grid_knn_cell_size(spacing: float, k: int) -> float:
 # ~26 s/pass at 131k points, where the grid path takes milliseconds).
 GRID_AUTO_THRESHOLD = 32768
 
+# Largest fine-pass cell_cap routed to the w2 (2x2x2 fat-cell) layout;
+# bigger caps signal a caller-calibrated dense-data setup per BASE cell
+# (cell_overflow_fraction recipe) and take the 3^3 base-cell layout.
+W2_FINE_MAX_CAP = 64
+
 # Effective point spacing of a grid subsample at cell size c is ~1.3c, not
 # c: one representative per occupied cell sits ~[c, c*sqrt(3)] from its
 # occupied neighbors.  Passing the raw cell size as the kNN spacing hint
@@ -194,7 +199,7 @@ def knn_neighborhood(
     k: int,
     chunk: int = _CHUNK,
     grid_cell_size: Optional[float] = None,
-    cell_cap: int = 16,
+    cell_cap: int = 48,
     coarse_cell_cap: Optional[int] = None,
     table_size: Optional[int] = None,
     want_positions: bool = False,
@@ -203,21 +208,29 @@ def knn_neighborhood(
 
     Replaces reference ``KnnNeighborhood`` (``pc/KnnNeighborhood.py:14-135``)
     with ``keep_empty=True`` fixed-k semantics (its fast path).  Exact
-    (brute force) by default; when ``grid_cell_size`` (≈ the point spacing)
-    is given and the source cloud exceeds ``GRID_AUTO_THRESHOLD``, the
-    grid-bucketed search runs instead (exact while the k-th neighbor lies
-    within 2.5 grid cells — callers pass the subsample cell size).
-    ``cell_cap`` bounds points per hash cell in the FINE pass; the at-cap
-    certificate routes rows whose answer a full cell could change to the
-    coarse backfill, so a tight fine cap costs candidate volume, not
-    recall (cap 32 -> 16 measured 254 -> 184 ms at 131k,
-    experiments/chip_knn_cap.py).  The coarse 3x/9x cells cover 27x the
-    volume and need a wider cap — ``coarse_cell_cap`` (default
-    ``max(32, cell_cap)``) — or THEY silently drop candidates for exactly
-    the rows the fine pass could not prove (recall 0.9984 with a shared
-    cap of 16 vs 0.9990 at 16/32 at 131k, experiments/chip_recall_check.py);
-    check ``cell_overflow_fraction`` at calibration time for unusually
-    dense data (tests/test_grid_recall.py quantifies both regimes).
+    (brute force) by default; when ``grid_cell_size`` (≈ the point spacing
+    — for grid-subsampled clouds scale the cell by
+    ``SUBSAMPLED_SPACING_FACTOR``) is given and the source cloud exceeds
+    ``GRID_AUTO_THRESHOLD``, the grid-bucketed search runs instead (exact
+    while the k-th neighbor lies within 2.5 grid cells).
+    ``cell_cap`` bounds points per hash cell in the FINE pass — a 2x2x2
+    window over cells of ``2 * grid_knn_cell_size(...)`` (8 fat candidate
+    rows per query; row gathers are latency-bound per ROW, so this beats
+    the 27-row 3^3 layout by ~1.6x at 131k).  Caps past
+    ``W2_FINE_MAX_CAP`` switch the fine pass to the 3^3 base-cell layout:
+    they signal a caller-calibrated dense-data setup whose cap was sized
+    per BASE cell via ``cell_overflow_fraction``.  The at-cap certificate
+    routes rows whose answer a full cell could change to the coarse
+    backfill, so a tight fine cap costs candidate volume, not recall —
+    but under-capping floods the backfill: cap 48 certifies 99% of rows
+    on production-like clouds vs 66% at cap 32
+    (experiments/chip_knn_parts.py flagw2).  The coarse 3x/9x passes keep
+    3^3 windows over the BASE cell with their own ``coarse_cell_cap``
+    (default 32; a shared small cap silently drops candidates for exactly
+    the rows the fine pass could not prove — recall 0.9984 vs 0.9990 at
+    131k, experiments/chip_recall_check.py); check
+    ``cell_overflow_fraction`` at calibration time for unusually dense
+    data (tests/test_grid_recall.py quantifies both regimes).
 
     ``want_positions`` additionally fills ``Neighborhood.neigh_pos``
     (``[B, 3, M, K]`` neighbor coordinates): the grid path carries them
@@ -225,37 +238,29 @@ def knn_neighborhood(
     no M*K-row position gather (``core.frames.pca_frames_from_components``).
     """
     if grid_cell_size is not None and src.capacity >= GRID_AUTO_THRESHOLD:
-        # 3x3x3 window at cell = KNN_CELL_FACTOR x spacing: worst-case
-        # guaranteed coverage (query at a cell corner) is one full cell
-        # = 2.45 x spacing > the ~2.26 x spacing k=16 surface kNN
-        # radius, so typical surface rows are provably exact after this
-        # single pass (round 2 used 2.1, which left ~25% of rows
-        # unproven and forced the coarse passes to run for everyone).
-        # Static shapes are cell-size independent; the cost of the
-        # bigger cell is higher per-cell occupancy, which cell_cap must
-        # cover AT THIS CELL SIZE (grid_knn_cell_size +
-        # cell_overflow_fraction are the sizing diagnostic).  Where the local spacing exceeds the hint
-        # (sparse regions — scan boundaries, isolated returns) the fine
-        # window under-fills; passes at 3x and 9x the cell backfill those
-        # rows (coverage up to +-28 x spacing), approaching the
-        # reference's unbounded exact kNN.  Rows an earlier pass fills
-        # completely keep its (exact-within-window) result.
+        # Fine pass: 2x2x2 window over cells of 2 * (KNN_CELL_FACTOR x
+        # spacing).  Guaranteed coverage is KNN_CELL_FACTOR = 2.45 x
+        # spacing in every direction (the w2 construction) > the ~2.26 x
+        # spacing k=16 surface kNN radius, so typical surface rows are
+        # provably exact after this single pass.  Where the local spacing
+        # exceeds the hint (sparse regions — scan boundaries, isolated
+        # returns) the fine window under-fills; 3^3 passes at 3x and 9x
+        # the base cell backfill those rows (coverage up to +-28 x
+        # spacing), approaching the reference's unbounded exact kNN.
+        # Rows an earlier pass fills completely keep its (exact-within-
+        # window) result.
         cell = grid_knn_cell_size(grid_cell_size, k)
         n = src.capacity
         # Hash collisions only ADD distance-filtered candidates, so a
         # smaller table trades memory for candidate volume (useful with
         # large cell_cap: table bytes = table_size * 16 * cell_cap).
         h_size = table_size or max(1 << (n - 1).bit_length(), 1024)
-
-        # NOTE: the 2x2x2 'w2' layout (used by ball query) was
-        # measured 2x faster per pass (chip_bq_parts 'knnw2') but
-        # REGRESSES recall here: the coarse backfill passes need
-        # cell caps proportional to the 27x cell volume, and
-        # volume-scaled caps make rows too fat (405 ms at cap 288).
-        # Ball query can use it because its radius ~ 2x spacing
-        # bounds occupancy by construction; kNN keeps 3^3 windows.
         m = query.positions.shape[1]
-        cap_b = min(m, max(4096, m // 4))
+        # Backfill buffer: the w2 fine pass certifies ~99% of rows on
+        # production-like (grid-subsampled, 1.3x-hinted) clouds
+        # (chip_knn_parts flagw2_48: 1.0%), so m/8 leaves >10x headroom;
+        # the lax.cond full-coarse fallback still guards bad hints.
+        cap_b = min(m, max(4096, m // 8))
 
         def union_topk(cands, qmask):
             # union of the passes: sort by candidate id, kill repeats,
@@ -291,11 +296,35 @@ def knn_neighborhood(
                 cd[:, :k],
             ) + tuple(p[:, :k] for p in pos)
 
+        # Fine layout dispatch: small caps take the w2 fast path (cap per
+        # 2*cell bucket); caps past W2_FINE_MAX_CAP mean the caller
+        # calibrated for adversarial density per BASE cell with
+        # cell_overflow_fraction (e.g. cap 256 for the dense-blob scene,
+        # tests/test_grid_recall.py) — honor that contract with the 3^3
+        # base-cell layout, where fat 2*cell rows would need 8x the cap.
+        use_w2 = cell_cap <= W2_FINE_MAX_CAP
+
         def fine_pass(sp, sm, qp, qm):
-            res = _grid_topk_neighbors(
-                sp, sm, qp, qm, k, None, cell, 3, h_size, cell_cap,
-                want_pos=want_positions,
-            )
+            if use_w2:
+                # 2x2x2-window fine pass over cells of 2*cell: 8 fat
+                # candidate rows per query instead of 27 — row gathers are
+                # LATENCY-bound per row (platform notes), so fewer, fatter
+                # rows win.  The session-D retry of this layout regressed
+                # (405 ms) because the pre-hint-fix cells forced
+                # volume-scaled caps; at the corrected 1.3x spacing hint,
+                # cap 48 covers the ~24-point occupancy of a 2*cell cell
+                # AND certifies 99% of rows (chip_knn_parts.py: fine
+                # 77 -> 47-54 ms at 131k, flagged 6.5% -> 1.0% on
+                # cell-centroid clouds).
+                res = _grid_topk_neighbors_w2(
+                    sp, sm, qp, qm, k, None, cell, h_size, cell_cap,
+                    want_pos=want_positions,
+                )
+            else:
+                res = _grid_topk_neighbors(
+                    sp, sm, qp, qm, k, None, cell, 3, h_size, cell_cap,
+                    want_pos=want_positions,
+                )
             idx1, ok1, d21, cap_md2 = res[:4]
             pos1 = res[4] if want_positions else ()
             # In-window hash collisions (possible only when an in-window
@@ -309,27 +338,39 @@ def knn_neighborhood(
                 qm,
             )
             # Provably exact rows: k unique candidates found, the k-th
-            # distance fits inside the guaranteed coverage of the 3^3
-            # window (distance from the query to the nearest window
-            # face, counting faces clipped at the data AABB as open —
-            # no source points lie beyond them), AND no window cell that
-            # was at the build capacity sits closer than the k-th
-            # neighbor (an at-cap cell may have dropped a nearer point,
-            # but a dropped point lies no closer than the cell's AABB —
-            # full cells beyond d_k cannot change the answer; the rest go
-            # to the coarse backfill, whose larger cells re-sample the
-            # region).
-            origin, dims = _grid_geometry(sp, sm, cell)
-            qcell = jnp.floor((qp - origin) / cell).astype(jnp.int32)
+            # distance fits inside the guaranteed coverage of the window
+            # (distance from the query to the nearest window face —
+            # >= `cell` by either construction — counting faces clipped
+            # at the data AABB as open: no source points lie beyond
+            # them), AND no window cell that was at the build capacity
+            # sits closer than the k-th neighbor (an at-cap cell may have
+            # dropped a nearer point, but a dropped point lies no closer
+            # than the cell's AABB — full cells beyond d_k cannot change
+            # the answer; the rest go to the coarse backfill, whose
+            # larger cells re-sample the region).  The lo/origin formulas
+            # must agree BITWISE with the table build's make_cells.
             inf = jnp.asarray(jnp.inf, sp.dtype)
-            cov_lo = jnp.where(
-                qcell - 1 >= 0, qp - (origin + (qcell - 1) * cell), inf
-            )
-            cov_hi = jnp.where(
-                qcell + 1 <= dims[None, :] - 1,
-                origin + (qcell + 2) * cell - qp,
-                inf,
-            )
+            if use_w2:
+                s2 = 2.0 * cell
+                origin, dims = _grid_geometry(sp, sm, s2)
+                lo = jnp.floor((qp - cell - origin) / s2).astype(jnp.int32)
+                cov_lo = jnp.where(lo >= 0, qp - (origin + lo * s2), inf)
+                cov_hi = jnp.where(
+                    lo + 1 <= dims[None, :] - 1,
+                    origin + (lo + 2) * s2 - qp,
+                    inf,
+                )
+            else:
+                origin, dims = _grid_geometry(sp, sm, cell)
+                qcell = jnp.floor((qp - origin) / cell).astype(jnp.int32)
+                cov_lo = jnp.where(
+                    qcell - 1 >= 0, qp - (origin + (qcell - 1) * cell), inf
+                )
+                cov_hi = jnp.where(
+                    qcell + 1 <= dims[None, :] - 1,
+                    origin + (qcell + 2) * cell - qp,
+                    inf,
+                )
             cov = jnp.min(jnp.minimum(cov_lo, cov_hi), axis=-1)  # [m]
             cnt = jnp.sum(ok1, axis=1)
             exact = (
@@ -347,11 +388,26 @@ def knn_neighborhood(
             src.positions, src.mask, query.positions, query.mask
         )
 
-        ccap = coarse_cell_cap if coarse_cell_cap else max(32, cell_cap)
+        # Coarse cells are 1x/3x/9x the BASE fine cell (not the 2*cell
+        # hash cell); cap 32 matches the round-3 recall pins — decoupled
+        # from the w2 fine cap, which covers 8x-volume buckets.  In the
+        # big-cap (3^3 fine) layout, keep the old max(32, cell_cap) so
+        # dense-calibrated callers get backfill rows at their density.
+        ccap = coarse_cell_cap if coarse_cell_cap else (
+            32 if use_w2 else max(32, cell_cap)
+        )
 
         def coarse(sp, sm, qpos, qmask):
             out = []
-            for scale in (3.0, 9.0):
+            # Backfill covers BOTH failure modes of the w2 fine pass:
+            # 1x = full-resolution 3^3 window at the base cell for the
+            # at-cap rows flagged in DENSE regions (double walls pack
+            # ~2x the surface occupancy into one 2*cell bucket — per
+            # volume, w2's cap 48 is 2.7x tighter than the old 16 per
+            # base cell, and without this pass the recall floor of
+            # tests/test_grid_recall.py regresses); 3x/9x cover the
+            # under-filled rows of SPARSE regions as before.
+            for scale in (1.0, 3.0, 9.0):
                 res = _grid_topk_neighbors(
                     sp, sm, qpos, qmask, k, None, scale * cell, 3,
                     h_size, ccap, want_pos=want_positions,
@@ -789,7 +845,7 @@ def _grid_topk_neighbors(
 def _grid_topk_neighbors_w2(
     src_pos, src_mask, query_pos, query_mask, k, radius2,
     coverage, table_size, cell_cap, chunk: int = 4096,
-    rng=None,
+    rng=None, want_pos=False,
 ):
     """2x2x2-window variant: cell size ``2 * coverage``.
 
@@ -815,7 +871,7 @@ def _grid_topk_neighbors_w2(
 
     return _grid_query(
         src_pos, src_mask, query_pos, query_mask, k, radius2,
-        s, make_cells, table_size, cell_cap, chunk, rng,
+        s, make_cells, table_size, cell_cap, chunk, rng, want_pos,
     )
 
 

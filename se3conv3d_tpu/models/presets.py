@@ -37,6 +37,9 @@ def _faust_spec(equivariant: bool) -> ModelSpec:
         radius_scale_blocks=2.0,
         fpn_dec_feats=32,
         num_hidden_seg_head=0,
+        # patch stem ball-queries the RAW cloud — denser than the
+        # subsampled levels the 24-cap occupancy measurement covers
+        max_neighbors=32,
     )
 
 
@@ -72,6 +75,9 @@ def _classnet19_spec(equivariant: bool, frame_pooling=None) -> ModelSpec:
         radius_scale_blocks=2.0,
         pooling_method="avg",
         frame_pooling_method=frame_pooling,
+        # patch stem ball-queries the RAW cloud — denser than the
+        # subsampled levels the 24-cap occupancy measurement covers
+        max_neighbors=32,
     )
 
 

@@ -82,8 +82,18 @@ class ModelSpec:
     # vector via an all-points conv into an extra hierarchy level.
     global_equiv_featurevector: bool = False
 
-    # TPU static neighbor caps.
-    max_neighbors: int = 32
+    # TPU static neighbor caps.  Conv gather/scatter rows scale linearly
+    # with the cap, and the platform is row-latency-bound; 24 truncates
+    # ZERO rows across every neighborhood the seg models request on
+    # surface workloads — all their convs run on grid-subsampled levels,
+    # where radius/spacing is fixed by radius_scale (measured occupancy
+    # means 8-16, p(>=24) = 0.000, experiments/chip_bq_occupancy.py) —
+    # while cutting the 131k ScanNet train step 2.97 -> 2.57 s.  Capped
+    # rows keep the NEAREST k (cap_mode default), so denser data degrades
+    # gracefully.  Class presets override back to 32: their patch stem
+    # ball-queries the RAW (unsubsampled, denser) cloud, which the
+    # occupancy measurement does not cover.
+    max_neighbors: int = 24
 
     # Precompute rot-equivariant edge geometry once per neighborhood (the
     # reference's rot-tensor cache).  Trades HBM for recompute: measured
