@@ -22,6 +22,13 @@ spec = get_model_spec(
     # reference keeps everything in radius); conv rows scale with it.
     max_neighbors=int(os.environ.get("MAXN", "32")),
 )
+if os.environ.get("REMAT", "1") == "0":
+    spec = dataclasses.replace(
+        spec,
+        conv=dataclasses.replace(spec.conv, remat=False),
+        conv_blocks=None if spec.conv_blocks is None
+        else dataclasses.replace(spec.conv_blocks, remat=False),
+    )
 caps = tuple(max(N // d, 64) for d in (1, 4, 16, 64, 256))
 hcfg = HierarchyConfig(
     init_cell_size=0.1, cell_sizes=(0.2, 0.4, 0.8, 1.6),

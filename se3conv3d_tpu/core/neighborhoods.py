@@ -56,10 +56,18 @@ def grid_knn_cell_size(spacing: float, k: int) -> float:
     :func:`cell_overflow_fraction` evaluated at this cell."""
     return KNN_CELL_FACTOR * float(spacing) * (max(k, 16) / 16.0) ** (1.0 / 3.0)
 
-# Source-cloud size above which the public entry points auto-dispatch to the
-# grid-bucketed search (brute force sorts the full distance row per query:
-# ~26 s/pass at 131k points, where the grid path takes milliseconds).
-GRID_AUTO_THRESHOLD = 32768
+# Cloud size above which the public entry points auto-dispatch to the
+# grid-bucketed search (brute force computes the full distance row +
+# top_k per query: ~26 s/pass at 131k points, where the grid path takes
+# milliseconds).  Re-measured in round-3 session G after the
+# variadic-sort + w2 rounds made the grid ~3x faster
+# (experiments/chip_small_dispatch.py, density-matched surfaces):
+#   8k:  brute 38 ms  vs grid 27 (knn) /  9 ms (bq)
+#   16k: brute 234 ms vs grid 29 (knn) / 12 ms (bq)
+#   32k: brute 1148 ms vs grid 122 (knn) / 18 ms (bq)
+# Grid wins from 8k up; below that brute is ~2 ms and the grid's fixed
+# sort/table costs aren't worth it.
+GRID_AUTO_THRESHOLD = 8192
 
 # Largest fine-pass cell_cap routed to the w2 (2x2x2 fat-cell) layout;
 # bigger caps signal a caller-calibrated dense-data setup per BASE cell

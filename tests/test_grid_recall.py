@@ -98,6 +98,36 @@ def test_grid_knn_recall_realistic_surfaces():
     assert _recall(scene, idx, sparse_q) >= 0.8
 
 
+def test_grid_dispatch_midsize_recall():
+    """Clouds in [8192, 32768) auto-dispatch to the grid path since the
+    GRID_AUTO_THRESHOLD drop (measured: brute 234 ms vs grid 29 at 16k,
+    experiments/chip_small_dispatch.py); nothing else pinned recall at
+    these sizes.  Compare against the brute oracle on a mid-size room."""
+    rng = np.random.default_rng(21)
+    s = SPACING * 3
+    parts = [
+        _surface(rng, [0, 0, 0], [s, 0, 0], [0, 0, s], 70, 70, 0.01),
+        _surface(rng, [0, 0, 0], [s, 0, 0], [0, s, 0], 60, 40, 0.01),
+        _surface(rng, [1.0, 0.6, 1.0], [s, 0, 0], [0, 0, s], 25, 20, 0.008),
+        rng.uniform(0, 1, (600, 3)) * [8.0, 4.0, 8.0],
+    ]
+    scene = np.concatenate(parts).astype(np.float32)
+    assert 8192 <= len(scene) < 32768, len(scene)
+    pc = PointCloud(positions=jnp.asarray(scene)[None],
+                    mask=jnp.ones((1, len(scene)), bool))
+    neigh = knn_neighborhood(pc, pc, K, grid_cell_size=s)
+    qs = rng.choice(len(scene), 800, replace=False)
+    idx = np.asarray(neigh.idx[0])
+    # same regime split as the 46k test: surfaces near-exact, the
+    # isolated scatter (last 600 points) relies on the overflow-lossy
+    # coarse passes (documented deviation)
+    surf_q = qs[qs < len(scene) - 600]
+    r_surf = _recall(scene, idx, surf_q)
+    r_all = _recall(scene, idx, qs)
+    assert r_surf >= 0.999, f"mid-size surface recall {r_surf:.5f}"
+    assert r_all >= 0.99, f"mid-size overall recall {r_all:.5f}"
+
+
 def test_grid_knn_recall_dense_blobs_needs_larger_cap():
     rng = np.random.default_rng(12)
     scene = _blob_scene(rng)
