@@ -41,16 +41,22 @@ trainer = Trainer(
     TrainSettings(label_smoothing=0.2, task="segmentation"),
 )
 
+B = int(os.environ.get("B", "1"))  # B=6 ~ the 750k-pt production batch
+
+
 def batch_of(key):
     k1, k2 = jax.random.split(key)
+    pos = jnp.concatenate(
+        [surface_cloud(jax.random.fold_in(k1, i), N, spacing=0.1)
+         for i in range(B)], axis=0)
     return {
         # surface at production density (see _workload.py): the kNN
         # certificate / backfill lax.cond is data-dependent, and
         # volumetric uniform data measures the wrong branch.
-        "positions": surface_cloud(k1, N, spacing=0.1),
-        "mask": jnp.ones((1, N), bool),
-        "features": jnp.ones((1, N, 3)),
-        "labels": jax.random.randint(k2, (1, N), 0, 21),
+        "positions": pos,
+        "mask": jnp.ones((B, N), bool),
+        "features": jnp.ones((B, N, 3)),
+        "labels": jax.random.randint(k2, (B, N), 0, 21),
     }
 
 if PART == "hierarchy":

@@ -51,8 +51,17 @@ def make_optimizer(
 
     ``accum_steps`` reproduces the reference's ``accum_grads``
     (``train_dfaust_rot.py:263-273``) via ``optax.MultiSteps``.
+
+    ``total_steps`` counts CALLS (micro-batches).  MultiSteps advances
+    the inner optimizer — and therefore the schedule — only every k-th
+    call, so the 1cycle length is the number of real optimizer steps;
+    without the division the schedule would traverse only its first
+    1/k and the final LR anneal would never happen.
     """
-    sched = onecycle(max_lr, total_steps, pct_start=pct_start)
+    sched = onecycle(
+        max_lr, max(total_steps // max(accum_steps, 1), 1),
+        pct_start=pct_start,
+    )
     chain = []
     if clip_grad_norm is not None:
         chain.append(optax.clip_by_global_norm(clip_grad_norm))

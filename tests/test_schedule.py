@@ -38,3 +38,32 @@ def test_make_optimizer_first_update_finite_small_steps():
     new = optax.apply_updates(params, updates)
     for leaf in jax.tree_util.tree_leaves(new):
         assert bool(jnp.isfinite(leaf).all())
+
+
+def test_make_optimizer_accum_schedule_completes_anneal():
+    """With accum_steps=k, ``total_steps`` counts CALLS; the 1cycle
+    schedule must be sized in OPTIMIZER steps (total//k) or the final
+    anneal never happens (the single-chip ScanNet recipe runs 6
+    micro-batches per effective batch)."""
+    import jax
+    import jax.numpy as jnp
+
+    k, calls = 4, 40
+    tx = make_optimizer(max_lr=1e-2, total_steps=calls, accum_steps=k,
+                        pct_start=0.3)
+    params = {"w": jnp.ones((2,))}
+    st = tx.init(params)
+    # params change ONLY on accumulation boundaries
+    changed = []
+    for i in range(calls):
+        grads = {"w": jnp.full((2,), 0.01)}
+        updates, st = tx.update(grads, st, params)
+        step = optax.apply_updates(params, updates)
+        changed.append(bool(jnp.any(step["w"] != params["w"])))
+        params = step
+    assert sum(changed) == calls // k
+    # the inner schedule advanced exactly calls//k optimizer steps; at
+    # that step count the 1cycle has fully annealed to ~max_lr/(div*
+    # final_div), so the LAST boundary update must be tiny vs the peak.
+    sched = onecycle(1e-2, calls // k, pct_start=0.3)
+    assert float(sched(calls // k)) < 1e-2 / 1000
