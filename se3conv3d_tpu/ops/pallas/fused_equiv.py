@@ -431,6 +431,28 @@ def fused_pne_conv(
       outside).
     """
     d, q = proj_axes.shape
+    # VMEM-aware tile cap: the m-scaled pipeline blocks (feat + dfeat +
+    # residual ~ 3*e*c, geo e*(d+1)*G, out 2*G*o; double-buffered) must
+    # fit the kernel's 100M vmem_limit_bytes.  tile_m=256 was tuned at
+    # the bench shape (e=32, c=64 — a ~6% bwd win), and the deepest
+    # ScanNet layers (~65M by this model) compile fine, but the DFaust 2F
+    # deep layers (e=64, c=256, ~105M) blew the scoped limit by 7M
+    # (b32 recipe, r3 session G).  The 72M budget keeps every
+    # previously-compiling shape at its measured tile (bench/ScanNet
+    # programs unchanged — the warm compile cache stays valid) and
+    # halves only the shapes that could not compile at all.
+    e_, c_ = feat_g.shape[2], feat_g.shape[3]
+    o_ = conv_weights.shape[2]
+    csize = 2 if (
+        compute_dtype is not None
+        and jnp.dtype(compute_dtype) == jnp.bfloat16
+    ) else 4
+    per_m = (
+        (3 * e_ * c_ + e_ * g_frames * (d + 1) + 2 * g_frames * o_)
+        * csize * 2
+    )
+    while tile_m > 32 and tile_m * per_m > 72 * 1024 * 1024:
+        tile_m //= 2
     # Per-block [A; b] stacked, block-diagonal over out-frames, transposed
     # (XLA-side, so autodiff folds the gradients back onto the shared
     # parameters).
