@@ -225,7 +225,7 @@ class PNEConv(nn.Module):
                         proj_axes, proj_biases, w_c,
                         norm_dist, norm_neighs,
                         act=act_name, rel_rot_type=self.rel_rot_type,
-                        compute_dtype=cdt,
+                        compute_dtype=cdt, lean_vjp=True,
                     )
                     for w_c in _o_chunks()
                 ]
@@ -249,6 +249,7 @@ class PNEConv(nn.Module):
                     pc_in, pc_out, neigh, features,
                     proj_axes, proj_biases, w_c,
                     norm_dist, norm_neighs, act=act_name, compute_dtype=cdt,
+                    lean_vjp=True,
                 )
                 for w_c in _o_chunks()
             ]
@@ -297,11 +298,29 @@ class ConvFactory:
     # Rematerialize conv internals in the backward pass: the per-edge
     # gathered-feature / PNE / basis tensors dominate training HBM at
     # ScanNet scale (a 131k-point step OOMs a 16 GB chip without this).
+    # Applies to the XLA einsum path only: the fused path's lean VJP
+    # (ops/pne_conv.py:_lean_equiv) keeps inputs-only residuals, so remat
+    # there would only re-run the forward Pallas kernel for nothing —
+    # measured ~20-30 ms per big conv at ScanNet scale.
     remat: bool = True
+
+    def _will_fuse(self) -> bool:
+        """Static mirror of PNEConv's fused-path dispatch (see
+        ``fused_ok`` in ``PNEConv.__call__``)."""
+        fused_ok = (
+            "mlp" in self.pne_type
+            and not self.pne_type.endswith("softmax")
+            and self.aggregation == "add"
+            and (not self.equivariant or self.rel_rot_type == "6D")
+        )
+        use = self.use_fused
+        if use is None:
+            use = jax.default_backend() != "cpu"
+        return fused_ok and use
 
     def make(self, in_features: int, out_features: int, name: Optional[str] = None) -> PNEConv:
         cls = PNEConv
-        if self.remat:
+        if self.remat and not self._will_fuse():
             # self = argnum 0; `calibrate` (a python bool) = argnum 5.
             cls = nn.remat(PNEConv, static_argnums=(5,))
         return cls(

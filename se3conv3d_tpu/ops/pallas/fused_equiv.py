@@ -55,7 +55,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_pne_conv", "FUSED_INTERPRET"]
+__all__ = ["fused_pne_conv", "fused_pne_conv_bwd", "FUSED_INTERPRET"]
 
 # Flip to force interpreter mode; on the CPU backend the kernels always
 # run interpreted (Mosaic compiles for TPU only).
@@ -399,6 +399,105 @@ _fused_single.defvjp(_fused_single_fwd, _fused_single_bwd)
 # --- public API ---------------------------------------------------------------
 
 
+def _tile_for(tile_m: int, e: int, c: int, o: int, d: int, g_frames: int,
+              compute_dtype: Optional[str]) -> int:
+    """VMEM-aware tile cap: the m-scaled pipeline blocks (feat + dfeat +
+    residual ~ 3*e*c, geo e*(d+1)*G, out 2*G*o; double-buffered) must fit
+    the kernel's 100M vmem_limit_bytes.  tile_m=256 was tuned at the
+    bench shape (e=32, c=64 — a ~6% bwd win); the 72M budget keeps every
+    previously-compiling shape at its measured tile and halves only the
+    shapes that could not compile at all (DFaust 2F deep layers)."""
+    csize = 2 if (
+        compute_dtype is not None
+        and jnp.dtype(compute_dtype) == jnp.bfloat16
+    ) else 4
+    per_m = (
+        (3 * e * c + e * g_frames * (d + 1) + 2 * g_frames * o)
+        * csize * 2
+    )
+    while tile_m > 32 and tile_m * per_m > 72 * 1024 * 1024:
+        tile_m //= 2
+    return tile_m
+
+
+def _fold_params(proj_axes, proj_biases, conv_weights, g_frames: int):
+    """Kernel operands from the conv parameters: per-block ``[A; b]``
+    stacked, block-diagonal over out-frames, transposed; weights
+    broadcast over (g, q).  Kept as plain ops so XLA autodiff folds the
+    gradients back onto the shared parameters on the non-lean path."""
+    proj_aug = jnp.concatenate([proj_axes, proj_biases[None]], axis=0)
+    eye = jnp.eye(g_frames, dtype=proj_aug.dtype)
+    d1, q = proj_aug.shape
+    proj_blk = jnp.einsum("gh,dq->gdhq", eye, proj_aug).reshape(
+        g_frames * d1, g_frames * q
+    )
+    projT = proj_blk.T
+    w2 = jnp.broadcast_to(
+        jnp.swapaxes(conv_weights, 0, 1)[None],
+        (g_frames,) + (q,) + conv_weights.shape[:1] + conv_weights.shape[2:],
+    ).reshape(g_frames * q, conv_weights.shape[0], conv_weights.shape[2])
+    return projT, w2
+
+
+def _unfold_param_grads(dprojT, dw2, d: int, q: int, g_frames: int):
+    """Fold kernel-operand gradients back onto the shared parameters —
+    the manual mirror of autodiff through :func:`_fold_params`."""
+    d1 = d + 1
+    dproj_aug = jnp.einsum(
+        "gqgd->dq", dprojT.reshape(g_frames, q, g_frames, d1)
+    )
+    dw = jnp.swapaxes(
+        dw2.reshape(g_frames, q, dw2.shape[1], dw2.shape[2]).sum(0), 0, 1
+    )
+    return dproj_aug[:d], dproj_aug[d], dw
+
+
+def fused_pne_conv_bwd(
+    geo_t: jnp.ndarray,
+    feat_g: jnp.ndarray,
+    proj_axes: jnp.ndarray,
+    proj_biases: jnp.ndarray,
+    conv_weights: jnp.ndarray,
+    gout: jnp.ndarray,
+    g_frames: int,
+    act: str = "gelu",
+    tile_m: int = 256,
+    compute_dtype: Optional[str] = None,
+):
+    """Direct backward-kernel call for callers owning their own VJP.
+
+    Same math as autodiff through :func:`fused_pne_conv` (the backward
+    Pallas kernel + the parameter-operand fold-back), WITHOUT re-running
+    the forward kernel — the lean-VJP conv path uses this so disabling
+    layer remat does not cost a forward recompute.
+
+    Args match :func:`fused_pne_conv`; ``gout`` is ``[B, M, G, O]`` f32.
+    Returns ``(dfeat_g [B, M, E, C], dproj_axes, dproj_biases, dconv_w)``
+    with parameter grads summed over the batch.
+    """
+    d, q = proj_axes.shape
+    e, c = feat_g.shape[2], feat_g.shape[3]
+    o = conv_weights.shape[2]
+    tm = _tile_for(tile_m, e, c, o, d, g_frames, compute_dtype)
+    cdt_name = (
+        None if compute_dtype is None else jnp.dtype(compute_dtype).name
+    )
+    projT, w2 = _fold_params(proj_axes, proj_biases, conv_weights, g_frames)
+    gout_k = jnp.swapaxes(gout, 1, 2)  # [B, G, M, O] kernel layout
+
+    def one(gt, fg, go):
+        _, dfeat, dprojT, dw2 = _fused_single_bwd(
+            act, g_frames, tm, cdt_name, (gt, fg, projT, w2), go
+        )
+        return dfeat, dprojT, dw2
+
+    dfeat_g, dprojT, dw2 = jax.vmap(one)(geo_t, feat_g, gout_k)
+    dpa, dpb, dw = _unfold_param_grads(
+        dprojT.sum(0), dw2.sum(0), d, q, g_frames
+    )
+    return dfeat_g, dpa, dpb, dw
+
+
 def fused_pne_conv(
     geo_t: jnp.ndarray,
     feat_g: jnp.ndarray,
@@ -431,41 +530,13 @@ def fused_pne_conv(
       outside).
     """
     d, q = proj_axes.shape
-    # VMEM-aware tile cap: the m-scaled pipeline blocks (feat + dfeat +
-    # residual ~ 3*e*c, geo e*(d+1)*G, out 2*G*o; double-buffered) must
-    # fit the kernel's 100M vmem_limit_bytes.  tile_m=256 was tuned at
-    # the bench shape (e=32, c=64 — a ~6% bwd win), and the deepest
-    # ScanNet layers (~65M by this model) compile fine, but the DFaust 2F
-    # deep layers (e=64, c=256, ~105M) blew the scoped limit by 7M
-    # (b32 recipe, r3 session G).  The 72M budget keeps every
-    # previously-compiling shape at its measured tile (bench/ScanNet
-    # programs unchanged — the warm compile cache stays valid) and
-    # halves only the shapes that could not compile at all.
-    e_, c_ = feat_g.shape[2], feat_g.shape[3]
-    o_ = conv_weights.shape[2]
-    csize = 2 if (
-        compute_dtype is not None
-        and jnp.dtype(compute_dtype) == jnp.bfloat16
-    ) else 4
-    per_m = (
-        (3 * e_ * c_ + e_ * g_frames * (d + 1) + 2 * g_frames * o_)
-        * csize * 2
+    tile_m = _tile_for(
+        tile_m, feat_g.shape[2], feat_g.shape[3], conv_weights.shape[2],
+        d, g_frames, compute_dtype,
     )
-    while tile_m > 32 and tile_m * per_m > 72 * 1024 * 1024:
-        tile_m //= 2
-    # Per-block [A; b] stacked, block-diagonal over out-frames, transposed
-    # (XLA-side, so autodiff folds the gradients back onto the shared
-    # parameters).
-    proj_aug = jnp.concatenate([proj_axes, proj_biases[None]], axis=0)
-    eye = jnp.eye(g_frames, dtype=proj_aug.dtype)
-    proj_blk = jnp.einsum("gh,dq->gdhq", eye, proj_aug).reshape(
-        g_frames * (d + 1), g_frames * q
-    )
-    projT = proj_blk.T
-    w2 = jnp.broadcast_to(
-        jnp.swapaxes(conv_weights, 0, 1)[None],
-        (g_frames,) + (q,) + conv_weights.shape[:1] + conv_weights.shape[2:],
-    ).reshape(g_frames * q, conv_weights.shape[0], conv_weights.shape[2])
+    # Kernel operands built XLA-side, so autodiff folds the gradients
+    # back onto the shared parameters.
+    projT, w2 = _fold_params(proj_axes, proj_biases, conv_weights, g_frames)
 
     # custom_vjp functions reject keyword args: bind the static tail
     # positionally.

@@ -624,70 +624,19 @@ def packed_equiv_geometry(
     )
 
 
-def fused_equiv_conv(
-    pc_in: PointCloud,
-    pc_out: PointCloud,
-    neigh: Neighborhood,
-    features: jnp.ndarray,
-    proj_axes: jnp.ndarray,
-    proj_biases: jnp.ndarray,
-    conv_weights: jnp.ndarray,
-    norm_dist: jnp.ndarray,
-    norm_num_neighs: jnp.ndarray,
-    act: str = "gelu",
-    rel_rot_type: str = "6D",
-    tile_m: int = 256,
-    m_chunk: int = M_CHUNK_DEFAULT,
-    compute_dtype=None,
-) -> jnp.ndarray:
-    """Rot-equivariant conv through the fused Pallas kernel.
+def _equiv_fwd_body(act, g, f, kk, tile_m, m_chunk, cdt_name,
+                    feats_x, pa_scaled, proj_biases, conv_weights,
+                    idx, mask, ctr_full, fo_full, cached, table, sort_t):
+    """Chunk-scanned fused equivariant conv forward.
 
-    Same math as ``linear_pne`` + mask + ``equiv_basis_conv`` (masking the
-    gathered features instead of the pne — identical sums and gradients),
-    but the per-edge pne and per-point basis never touch HBM, and the
-    geometry is built PER-COMPONENT into the kernel's transposed compact
-    layout ``geo_t [B, G*(D+1), M*K*F]``: no ``[..., 3, 3]`` or
-    ``[..., 3]`` intermediates ever materialise (TPU pads a minor dim of
-    3 to 128 lanes — a 6-40x HBM tax; measured 31.6 ms/step at DFaust
-    scale for the einsum geometry vs ~3 ms packed).  The
-    ``norm_neigh_dist`` scale folds into the projection's offset rows
-    (algebraically identical), so the geometry is layer-independent.
-
-    The query axis is processed in ``m_chunk`` slices under ``lax.scan``:
-    this platform's compile helper fails (HTTP 500) on single-call
-    programs past ~48k queries at trunk shapes, and chunking also bounds
-    the geometry/gather transients.
-
-    6D relative rotations only (the shipped configs' representation);
-    callers fall back to the XLA einsum path for quaternion/matrix.
+    Shared by the autodiff path of :func:`fused_equiv_conv` and the
+    lean-VJP wrapper (:func:`_lean_equiv`).  Returns the raw kernel
+    output ``[B, M, G, O]`` f32, un-normalised.
     """
     from .pallas.fused_equiv import fused_pne_conv
 
-    if rel_rot_type != "6D":
-        raise NotImplementedError(
-            "fused_equiv_conv packs 6D relative rotations; use the XLA "
-            "path for quaternion/matrix"
-        )
-    b, m, kk = neigh.idx.shape
-    g = pc_out.frames.shape[2]
-    f = pc_in.frames.shape[2]
-    cdt_name = None if compute_dtype is None else jnp.dtype(compute_dtype).name
-    geo_dt = jnp.dtype(cdt_name) if cdt_name else features.dtype
-    feats_x = features.astype(geo_dt) if cdt_name else features
-
-    # Fold the norm scale into the offset rows of the projection:
-    # act((s*rel) @ A_off + rot @ A_rot + b) == act(rel @ (s*A_off) + ...).
-    pa_scaled = jnp.concatenate(
-        [proj_axes[:3] * norm_dist, proj_axes[3:]], axis=0
-    )
-    cached = neigh.equiv_geo_t
-    table = None
-    if cached is None:
-        table = _equiv_geo_table(
-            pc_in, f, split_bf16=geo_dt == jnp.bfloat16
-        )
-    sort_t = _sort_tables_for(neigh, features.shape[1], m, m_chunk)
-
+    b, m = idx.shape[:2]
+    geo_dt = jnp.dtype(cdt_name) if cdt_name else feats_x.dtype
     feats_flat = (
         feats_x.reshape(b, feats_x.shape[1], -1) if cached is None else None
     )
@@ -713,13 +662,9 @@ def fused_equiv_conv(
             g_frames=g, act=act, tile_m=tile_m, compute_dtype=cdt_name,
         )
 
-    ctr_full = pc_out.positions
-    fo_full = pc_out.frames
-
     if m <= m_chunk:
         sort_0 = None if sort_t is None else tuple(t[:, 0] for t in sort_t)
-        out = chunk(ctr_full, fo_full, neigh.idx, neigh.mask, cached, sort_0)
-        return (out * (norm_num_neighs / f)).astype(features.dtype)
+        return chunk(ctr_full, fo_full, idx, mask, cached, sort_0)
 
     mp = ((m + m_chunk - 1) // m_chunk) * m_chunk
     nch = mp // m_chunk
@@ -729,18 +674,14 @@ def fused_equiv_conv(
         x = jnp.pad(x, [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2))
         return x.reshape(b, nch, m_chunk, *x.shape[2:]).swapaxes(0, 1)
 
-    xs = (chunked(ctr_full), chunked(fo_full), chunked(neigh.idx),
-          chunked(neigh.mask))
+    xs = (chunked(ctr_full), chunked(fo_full), chunked(idx), chunked(mask))
     sort_xs = (
         None if sort_t is None
         else tuple(jnp.swapaxes(t, 0, 1) for t in sort_t)  # [nch, B, ...]
     )
 
     if cached is not None:
-        gd1 = cached.shape[1]
-        geo_p = jnp.pad(cached, ((0, 0), (0, 0), (0, pad * kk * f)))
-        geo_p = geo_p.reshape(b, gd1, nch, m_chunk * kk * f)
-        geo_p = jnp.moveaxis(geo_p, 2, 0)          # [nch, B, GD1, mc*K*F]
+        geo_p = _chunk_cached_geo(cached, nch, m_chunk, kk, f, pad)
 
         def body_c(_, x):
             ctr_c, fo_c, idx_c, mask_c, geo_c = x[:5]
@@ -758,8 +699,394 @@ def fused_equiv_conv(
 
         scan_xs = xs + (sort_xs if sort_xs else ())
         _, outs = jax.lax.scan(body, (), scan_xs)
-    out = outs.swapaxes(0, 1).reshape(b, mp, g, -1)[:, :m]
+    return outs.swapaxes(0, 1).reshape(b, mp, g, -1)[:, :m]
+
+
+def _chunk_cached_geo(cached, nch, m_chunk, kk, f, pad):
+    """``[B, GD1, M*K*F]`` cached geometry -> per-chunk scan operand
+    ``[nch, B, GD1, mc*K*F]``."""
+    b, gd1 = cached.shape[:2]
+    geo_p = jnp.pad(cached, ((0, 0), (0, 0), (0, pad * kk * f)))
+    geo_p = geo_p.reshape(b, gd1, nch, m_chunk * kk * f)
+    return jnp.moveaxis(geo_p, 2, 0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lean_equiv(cfg, feats_x, pa_scaled, proj_biases, conv_weights,
+                idx, mask, ctr, fo, cached, table):
+    """Memory-lean VJP around the WHOLE chunked fused equivariant conv.
+
+    Residuals are the INPUTS only — features ``[B, N, F, C]``, the
+    neighbor table and the (already-materialised) geometry — instead of
+    the per-edge gathered features ``[B, M, E, C]`` XLA autodiff would
+    save (~24x larger at production shapes; the reason conv layers
+    needed ``nn.remat``, which re-ran the forward Pallas kernel in every
+    backward).  The backward re-gathers the neighbor features (the
+    unavoidable part — the backward kernel consumes them) and calls the
+    backward Pallas kernel directly: no forward-kernel recompute, no
+    layer remat needed.  Reference semantics unchanged
+    (``feat_basis_proj_grads.cu:26-217``; geometry gets no gradient,
+    ``custom_ops/PNE.py:57-61``).
+    """
+    return _equiv_fwd_body(
+        *cfg, feats_x, pa_scaled, proj_biases, conv_weights,
+        idx, mask, ctr, fo, cached, table, None,
+    )
+
+
+def _lean_equiv_fwd(cfg, *args):
+    return _lean_equiv(cfg, *args), args
+
+
+def _lean_equiv_bwd(cfg, res, gout):
+    from .pallas.fused_equiv import fused_pne_conv_bwd
+
+    act, g, f, kk, tile_m, m_chunk, cdt_name = cfg
+    (feats_x, pa_scaled, proj_biases, conv_weights,
+     idx, mask, ctr, fo, cached, table) = res
+    b, m, _ = idx.shape
+    n = feats_x.shape[1]
+    c = feats_x.shape[-1]
+    geo_dt = jnp.dtype(cdt_name) if cdt_name else feats_x.dtype
+    feats_flat = feats_x.reshape(b, n, -1) if cached is None else None
+
+    def chunk_bwd(dfeat_acc, ctr_c, fo_c, idx_c, mask_c, geo_c, gout_c):
+        if geo_c is None and MERGE_GATHER:
+            gf_geo, feat_g = _gather_geo_feats(
+                f, table, feats_flat, idx_c, mask_c
+            )
+            geo_c = _packed_equiv_geo_from_gf(
+                gf_geo, ctr_c, fo_c, f, g, geo_dt
+            )
+        else:
+            if geo_c is None:
+                geo_c = _packed_equiv_geo_chunk(
+                    table, ctr_c, fo_c, idx_c, kk, f, g, geo_dt
+                )
+            feat_g = _gather_feats_me(feats_x, idx_c, mask_c)
+        dfeat_g, dpa, dpb, dw = fused_pne_conv_bwd(
+            geo_c, feat_g, pa_scaled, proj_biases, conv_weights, gout_c,
+            g_frames=g, act=act, tile_m=tile_m, compute_dtype=cdt_name,
+        )
+        mc = idx_c.shape[1]
+        gm = jnp.where(
+            mask_c[:, :, :, None, None],
+            dfeat_g.reshape(b, mc, kk, f, c), 0.0,
+        )
+
+        def one(acc_b, g_b, idx_b):
+            # f32 accumulation (see _gather_feats_me_bwd)
+            flat = g_b.reshape(mc * kk, f * c).astype(jnp.float32)
+            return acc_b.at[idx_b.reshape(-1)].add(flat)
+
+        return jax.vmap(one)(dfeat_acc, gm, idx_c), dpa, dpb, dw
+
+    dfeat0 = jnp.zeros((b, n, f * c), jnp.float32)
+
+    if m <= m_chunk:
+        dfeat_acc, dpa, dpb, dw = chunk_bwd(
+            dfeat0, ctr, fo, idx, mask, cached, gout
+        )
+    else:
+        mp = ((m + m_chunk - 1) // m_chunk) * m_chunk
+        nch = mp // m_chunk
+        pad = mp - m
+
+        def chunked(x):
+            x = jnp.pad(x, [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2))
+            return x.reshape(b, nch, m_chunk, *x.shape[2:]).swapaxes(0, 1)
+
+        xs = (chunked(ctr), chunked(fo), chunked(idx), chunked(mask),
+              chunked(gout))
+        geo_xs = (
+            (_chunk_cached_geo(cached, nch, m_chunk, kk, f, pad),)
+            if cached is not None else ()
+        )
+
+        def body(carry, x):
+            dfeat_acc, dpa_acc, dpb_acc, dw_acc = carry
+            ctr_c, fo_c, idx_c, mask_c, gout_c = x[:5]
+            geo_c = x[5] if len(x) > 5 else None
+            dfeat_acc, dpa, dpb, dw = chunk_bwd(
+                dfeat_acc, ctr_c, fo_c, idx_c, mask_c, geo_c, gout_c
+            )
+            return (dfeat_acc, dpa_acc + dpa, dpb_acc + dpb, dw_acc + dw), ()
+
+        init = (
+            dfeat0,
+            jnp.zeros(pa_scaled.shape, jnp.float32),
+            jnp.zeros(proj_biases.shape, jnp.float32),
+            jnp.zeros(conv_weights.shape, jnp.float32),
+        )
+        (dfeat_acc, dpa, dpb, dw), _ = jax.lax.scan(
+            body, init, xs + geo_xs
+        )
+
+    dfeat = dfeat_acc.reshape(b, n, f, c).astype(feats_x.dtype)
+    return (
+        dfeat,
+        dpa.astype(pa_scaled.dtype),
+        dpb.astype(proj_biases.dtype),
+        dw.astype(conv_weights.dtype),
+        None, None, None, None, None, None,
+    )
+
+
+_lean_equiv.defvjp(_lean_equiv_fwd, _lean_equiv_bwd)
+
+
+def fused_equiv_conv(
+    pc_in: PointCloud,
+    pc_out: PointCloud,
+    neigh: Neighborhood,
+    features: jnp.ndarray,
+    proj_axes: jnp.ndarray,
+    proj_biases: jnp.ndarray,
+    conv_weights: jnp.ndarray,
+    norm_dist: jnp.ndarray,
+    norm_num_neighs: jnp.ndarray,
+    act: str = "gelu",
+    rel_rot_type: str = "6D",
+    tile_m: int = 256,
+    m_chunk: int = M_CHUNK_DEFAULT,
+    compute_dtype=None,
+    lean_vjp: bool = False,
+) -> jnp.ndarray:
+    """Rot-equivariant conv through the fused Pallas kernel.
+
+    Same math as ``linear_pne`` + mask + ``equiv_basis_conv`` (masking the
+    gathered features instead of the pne — identical sums and gradients),
+    but the per-edge pne and per-point basis never touch HBM, and the
+    geometry is built PER-COMPONENT into the kernel's transposed compact
+    layout ``geo_t [B, G*(D+1), M*K*F]``: no ``[..., 3, 3]`` or
+    ``[..., 3]`` intermediates ever materialise (TPU pads a minor dim of
+    3 to 128 lanes — a 6-40x HBM tax; measured 31.6 ms/step at DFaust
+    scale for the einsum geometry vs ~3 ms packed).  The
+    ``norm_neigh_dist`` scale folds into the projection's offset rows
+    (algebraically identical), so the geometry is layer-independent.
+
+    The query axis is processed in ``m_chunk`` slices under ``lax.scan``:
+    this platform's compile helper fails (HTTP 500) on single-call
+    programs past ~48k queries at trunk shapes, and chunking also bounds
+    the geometry/gather transients.
+
+    6D relative rotations only (the shipped configs' representation);
+    callers fall back to the XLA einsum path for quaternion/matrix.
+
+    ``lean_vjp``: route through :func:`_lean_equiv` — inputs-only
+    residuals (no ``[B, M, E, C]`` gathered-feature residual); the
+    backward re-gathers and calls the backward kernel directly, so
+    training needs neither layer remat nor a forward-kernel recompute.
+    Incompatible with the 'sorted' backward mode (which carries its own
+    gather VJP) — silently ignored there.
+    """
+    if rel_rot_type != "6D":
+        raise NotImplementedError(
+            "fused_equiv_conv packs 6D relative rotations; use the XLA "
+            "path for quaternion/matrix"
+        )
+    b, m, kk = neigh.idx.shape
+    g = pc_out.frames.shape[2]
+    f = pc_in.frames.shape[2]
+    cdt_name = None if compute_dtype is None else jnp.dtype(compute_dtype).name
+    geo_dt = jnp.dtype(cdt_name) if cdt_name else features.dtype
+    feats_x = features.astype(geo_dt) if cdt_name else features
+
+    # Fold the norm scale into the offset rows of the projection:
+    # act((s*rel) @ A_off + rot @ A_rot + b) == act(rel @ (s*A_off) + ...).
+    pa_scaled = jnp.concatenate(
+        [proj_axes[:3] * norm_dist, proj_axes[3:]], axis=0
+    )
+    cached = neigh.equiv_geo_t
+    table = None
+    if cached is None:
+        table = _equiv_geo_table(
+            pc_in, f, split_bf16=geo_dt == jnp.bfloat16
+        )
+    sort_t = _sort_tables_for(neigh, features.shape[1], m, m_chunk)
+    cfg = (act, g, f, kk, tile_m, m_chunk, cdt_name)
+
+    if lean_vjp and sort_t is None:
+        out = _lean_equiv(
+            cfg, feats_x, pa_scaled, proj_biases, conv_weights,
+            neigh.idx, neigh.mask, pc_out.positions, pc_out.frames,
+            cached, table,
+        )
+    else:
+        out = _equiv_fwd_body(
+            *cfg, feats_x, pa_scaled, proj_biases, conv_weights,
+            neigh.idx, neigh.mask, pc_out.positions, pc_out.frames,
+            cached, table, sort_t,
+        )
     return (out * (norm_num_neighs / f)).astype(features.dtype)
+
+
+def _std_fwd_body(act, kk, tile_m, m_chunk, cdt_name, merge,
+                  feats4, pa_scaled, proj_biases, conv_weights,
+                  idx, mask, ctr_full, pts_in, sort_t):
+    """Chunk-scanned fused standard conv forward (G=1, E=K, D=3).
+
+    Shared by the autodiff path of :func:`fused_conv` and the lean-VJP
+    wrapper.  Returns the raw kernel output ``[B, M, 1, O]`` f32.
+    """
+    from .pallas.fused_equiv import fused_pne_conv
+
+    b, m = idx.shape[:2]
+    geo_dt = jnp.dtype(cdt_name) if cdt_name else feats4.dtype
+    feats_flat = feats4.reshape(b, feats4.shape[1], -1) if merge else None
+
+    def chunk(ctr_c, idx_c, mask_c, sort_c):
+        mc = idx_c.shape[1]
+        if merge and sort_c is None:
+            gp, feat_g = _gather_geo_feats(
+                1, pts_in, feats_flat, idx_c, mask_c
+            )
+        else:
+            gp = jax.vmap(lambda t, i: t[i])(
+                pts_in, idx_c.reshape(b, mc * kk)
+            )
+            gp = gp.reshape(b, mc, kk, 3)
+            feat_g = _gather_feats(feats4, idx_c, mask_c, sort_c)
+        geo_t = _std_geo_chunk(gp, ctr_c, geo_dt)
+        return fused_pne_conv(
+            geo_t, feat_g, pa_scaled, proj_biases, conv_weights,
+            g_frames=1, act=act, tile_m=tile_m, compute_dtype=cdt_name,
+        )
+
+    if m <= m_chunk:
+        sort_0 = None if sort_t is None else tuple(t[:, 0] for t in sort_t)
+        return chunk(ctr_full, idx, mask, sort_0)
+
+    mp = ((m + m_chunk - 1) // m_chunk) * m_chunk
+    nch = mp // m_chunk
+    pad = mp - m
+
+    def chunked(x):
+        x = jnp.pad(x, [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2))
+        return x.reshape(b, nch, m_chunk, *x.shape[2:]).swapaxes(0, 1)
+
+    xs = (chunked(ctr_full), chunked(idx), chunked(mask))
+    sort_xs = (
+        None if sort_t is None
+        else tuple(jnp.swapaxes(t, 0, 1) for t in sort_t)
+    )
+
+    def body(_, x):
+        ctr_c, idx_c, mask_c = x[:3]
+        sort_c = x[3:] if len(x) > 3 else None
+        return (), chunk(ctr_c, idx_c, mask_c, sort_c)
+
+    _, outs = jax.lax.scan(body, (), xs + (sort_xs if sort_xs else ()))
+    return outs.swapaxes(0, 1).reshape(b, mp, 1, -1)[:, :m]
+
+
+def _std_geo_chunk(gp, ctr_c, geo_dt):
+    """Packed-transposed standard-conv geometry ``[B, 4, mc*K]`` from the
+    gathered neighbor positions (3 offset rows + the bias ones-row)."""
+    b, mc, kk = gp.shape[:3]
+    rows = []
+    for c in range(3):
+        r = gp[..., c] - ctr_c[..., c][:, :, None]
+        rows.append(r.reshape(b, mc * kk).astype(geo_dt))
+    rows.append(jnp.ones((b, mc * kk), geo_dt))
+    return jax.lax.stop_gradient(jnp.stack(rows, axis=1))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lean_std(cfg, feats4, pa_scaled, proj_biases, conv_weights,
+              idx, mask, ctr, pts_in):
+    """Lean VJP around the chunked standard fused conv — the G=F=1
+    sibling of :func:`_lean_equiv` (inputs-only residuals; backward
+    re-gathers and calls the backward kernel directly)."""
+    return _std_fwd_body(
+        *cfg, feats4, pa_scaled, proj_biases, conv_weights,
+        idx, mask, ctr, pts_in, None,
+    )
+
+
+def _lean_std_fwd(cfg, *args):
+    return _lean_std(cfg, *args), args
+
+
+def _lean_std_bwd(cfg, res, gout):
+    from .pallas.fused_equiv import fused_pne_conv_bwd
+
+    act, kk, tile_m, m_chunk, cdt_name, merge = cfg
+    (feats4, pa_scaled, proj_biases, conv_weights,
+     idx, mask, ctr, pts_in) = res
+    b, m, _ = idx.shape
+    n = feats4.shape[1]
+    c = feats4.shape[-1]
+    geo_dt = jnp.dtype(cdt_name) if cdt_name else feats4.dtype
+    feats_flat = feats4.reshape(b, n, -1) if merge else None
+
+    def chunk_bwd(dfeat_acc, ctr_c, idx_c, mask_c, gout_c):
+        mc = idx_c.shape[1]
+        if merge:
+            gp, feat_g = _gather_geo_feats(
+                1, pts_in, feats_flat, idx_c, mask_c
+            )
+        else:
+            gp = jax.vmap(lambda t, i: t[i])(
+                pts_in, idx_c.reshape(b, mc * kk)
+            )
+            gp = gp.reshape(b, mc, kk, 3)
+            feat_g = _gather_feats_me(feats4, idx_c, mask_c)
+        geo_t = _std_geo_chunk(gp, ctr_c, geo_dt)
+        dfeat_g, dpa, dpb, dw = fused_pne_conv_bwd(
+            geo_t, feat_g, pa_scaled, proj_biases, conv_weights, gout_c,
+            g_frames=1, act=act, tile_m=tile_m, compute_dtype=cdt_name,
+        )
+        gm = jnp.where(
+            mask_c[:, :, :, None, None],
+            dfeat_g.reshape(b, mc, kk, 1, c), 0.0,
+        )
+
+        def one(acc_b, g_b, idx_b):
+            flat = g_b.reshape(mc * kk, c).astype(jnp.float32)
+            return acc_b.at[idx_b.reshape(-1)].add(flat)
+
+        return jax.vmap(one)(dfeat_acc, gm, idx_c), dpa, dpb, dw
+
+    dfeat0 = jnp.zeros((b, n, c), jnp.float32)
+
+    if m <= m_chunk:
+        dfeat_acc, dpa, dpb, dw = chunk_bwd(dfeat0, ctr, idx, mask, gout)
+    else:
+        mp = ((m + m_chunk - 1) // m_chunk) * m_chunk
+        nch = mp // m_chunk
+        pad = mp - m
+
+        def chunked(x):
+            x = jnp.pad(x, [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2))
+            return x.reshape(b, nch, m_chunk, *x.shape[2:]).swapaxes(0, 1)
+
+        xs = (chunked(ctr), chunked(idx), chunked(mask), chunked(gout))
+
+        def body(carry, x):
+            dfeat_acc, dpa_acc, dpb_acc, dw_acc = carry
+            dfeat_acc, dpa, dpb, dw = chunk_bwd(dfeat_acc, *x)
+            return (dfeat_acc, dpa_acc + dpa, dpb_acc + dpb, dw_acc + dw), ()
+
+        init = (
+            dfeat0,
+            jnp.zeros(pa_scaled.shape, jnp.float32),
+            jnp.zeros(proj_biases.shape, jnp.float32),
+            jnp.zeros(conv_weights.shape, jnp.float32),
+        )
+        (dfeat_acc, dpa, dpb, dw), _ = jax.lax.scan(body, init, xs)
+
+    dfeat = dfeat_acc.reshape(b, n, 1, c).astype(feats4.dtype)
+    return (
+        dfeat,
+        dpa.astype(pa_scaled.dtype),
+        dpb.astype(proj_biases.dtype),
+        dw.astype(conv_weights.dtype),
+        None, None, None, None,
+    )
+
+
+_lean_std.defvjp(_lean_std_fwd, _lean_std_bwd)
 
 
 def fused_conv(
@@ -776,16 +1103,15 @@ def fused_conv(
     tile_m: int = 256,
     m_chunk: int = M_CHUNK_DEFAULT,
     compute_dtype=None,
+    lean_vjp: bool = False,
 ) -> jnp.ndarray:
     """Standard (non-equivariant, mlp-PNE) conv through the fused kernel.
 
     Degenerate case of the equivariant kernel: G = 1 out-frames, E = K
     edges, D = 3 pne dims (reference ``PNEConvLayer.py:178-229``).  Same
-    packed-transposed geometry and ``m_chunk`` slicing as
-    :func:`fused_equiv_conv`.
+    packed-transposed geometry, ``m_chunk`` slicing and ``lean_vjp``
+    semantics as :func:`fused_equiv_conv`.
     """
-    from .pallas.fused_equiv import fused_pne_conv
-
     b, m, kk = neigh.idx.shape
     cdt_name = None if compute_dtype is None else jnp.dtype(compute_dtype).name
     geo_dt = jnp.dtype(cdt_name) if cdt_name else features.dtype
@@ -800,57 +1126,16 @@ def fused_conv(
     # can't concat (the bf16 mode keeps separate gathers; its geometry
     # traffic is already halved by the dtype).
     merge = geo_dt == pts_in.dtype and MERGE_GATHER
-    feats_flat = feats4.reshape(b, feats4.shape[1], -1) if merge else None
+    cfg = (act, kk, tile_m, m_chunk, cdt_name, merge)
 
-    def chunk(ctr_c, idx_c, mask_c, sort_c):
-        mc = idx_c.shape[1]
-        if merge and sort_c is None:
-            gp, feat_g = _gather_geo_feats(
-                1, pts_in, feats_flat, idx_c, mask_c
-            )
-        else:
-            gp = jax.vmap(lambda t, i: t[i])(
-                pts_in, idx_c.reshape(b, mc * kk)
-            )
-            gp = gp.reshape(b, mc, kk, 3)
-            feat_g = _gather_feats(feats4, idx_c, mask_c, sort_c)
-        rows = []
-        for c in range(3):
-            r = gp[..., c] - ctr_c[..., c][:, :, None]
-            rows.append(r.reshape(b, mc * kk).astype(geo_dt))
-        rows.append(jnp.ones((b, mc * kk), geo_dt))
-        geo_t = jax.lax.stop_gradient(jnp.stack(rows, axis=1))  # [B, 4, mc*K]
-        return fused_pne_conv(
-            geo_t, feat_g, pa_scaled, proj_biases, conv_weights,
-            g_frames=1, act=act, tile_m=tile_m, compute_dtype=cdt_name,
+    if lean_vjp and sort_t is None:
+        out = _lean_std(
+            cfg, feats4, pa_scaled, proj_biases, conv_weights,
+            neigh.idx, neigh.mask, pc_out.positions, pts_in,
         )
-
-    ctr_full = pc_out.positions
-
-    if m <= m_chunk:
-        sort_0 = None if sort_t is None else tuple(t[:, 0] for t in sort_t)
-        out = chunk(ctr_full, neigh.idx, neigh.mask, sort_0)
-        return (out[:, :, 0, :] * norm_num_neighs).astype(features.dtype)
-
-    mp = ((m + m_chunk - 1) // m_chunk) * m_chunk
-    nch = mp // m_chunk
-    pad = mp - m
-
-    def chunked(x):
-        x = jnp.pad(x, [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2))
-        return x.reshape(b, nch, m_chunk, *x.shape[2:]).swapaxes(0, 1)
-
-    xs = (chunked(ctr_full), chunked(neigh.idx), chunked(neigh.mask))
-    sort_xs = (
-        None if sort_t is None
-        else tuple(jnp.swapaxes(t, 0, 1) for t in sort_t)
-    )
-
-    def body(_, x):
-        ctr_c, idx_c, mask_c = x[:3]
-        sort_c = x[3:] if len(x) > 3 else None
-        return (), chunk(ctr_c, idx_c, mask_c, sort_c)
-
-    _, outs = jax.lax.scan(body, (), xs + (sort_xs if sort_xs else ()))
-    out = outs.swapaxes(0, 1).reshape(b, mp, 1, -1)[:, :m]
+    else:
+        out = _std_fwd_body(
+            *cfg, feats4, pa_scaled, proj_biases, conv_weights,
+            neigh.idx, neigh.mask, pc_out.positions, pts_in, sort_t,
+        )
     return (out[:, :, 0, :] * norm_num_neighs).astype(features.dtype)

@@ -221,3 +221,61 @@ def test_split_bf16_geo_table_reconstruction():
         np.asarray(pos) - np.asarray(pos).astype(jnp.bfloat16).astype(np.float32)
     ).max()
     assert bf16_pos_err > 0.05  # the failure mode the split avoids
+
+
+@pytest.mark.parametrize("cached", [False, True])
+@pytest.mark.parametrize("m_chunk", [4096, 32])
+def test_lean_vjp_matches_autodiff_equiv(cached, m_chunk):
+    """lean_vjp=True (inputs-only residuals, direct backward-kernel call)
+    must reproduce the autodiff path's output AND gradients exactly, in
+    both chunk layouts and with/without the cached packed geometry."""
+    pc, neigh, feats, pa, pb, w = _setup(jax.random.PRNGKey(7))
+    nd, nn = jnp.asarray(3.0), jnp.asarray(0.11)
+    if cached:
+        neigh = neigh.replace(equiv_geo_t=ops.packed_equiv_geometry(pc, pc, neigh))
+
+    def loss(lean, p):
+        out = ops.fused_equiv_conv(
+            pc, pc, neigh, p[0], p[1], p[2], p[3], nd, nn,
+            tile_m=32, m_chunk=m_chunk, lean_vjp=lean,
+        )
+        return jnp.sum(out * jnp.cos(out)), out
+
+    params = (feats, pa, pb, w)
+    (l_ref, out_ref), g_ref = jax.value_and_grad(
+        lambda p: loss(False, p), has_aux=True)(params)
+    (l_lean, out_lean), g_lean = jax.value_and_grad(
+        lambda p: loss(True, p), has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(out_lean), np.asarray(out_ref), atol=1e-6)
+    for a, b, name in zip(g_ref, g_lean, ["feats", "pa", "pb", "w"]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5,
+            err_msg=f"lean grad mismatch: {name}",
+        )
+
+
+@pytest.mark.parametrize("m_chunk", [4096, 32])
+def test_lean_vjp_matches_autodiff_standard(m_chunk):
+    pc, neigh, feats, pa, pb, w = _setup(jax.random.PRNGKey(8))
+    feats1 = feats[:, :, 0, :]
+    pa3 = pa[:3]
+    nd, nn = jnp.asarray(3.0), jnp.asarray(0.13)
+
+    def loss(lean, p):
+        out = ops.fused_conv(
+            pc, pc, neigh, p[0], p[1], p[2], p[3], nd, nn,
+            tile_m=32, m_chunk=m_chunk, lean_vjp=lean,
+        )
+        return jnp.sum(out * jnp.cos(out)), out
+
+    params = (feats1, pa3, pb, w)
+    (_, out_ref), g_ref = jax.value_and_grad(
+        lambda p: loss(False, p), has_aux=True)(params)
+    (_, out_lean), g_lean = jax.value_and_grad(
+        lambda p: loss(True, p), has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(out_lean), np.asarray(out_ref), atol=1e-6)
+    for a, b, name in zip(g_ref, g_lean, ["feats", "pa", "pb", "w"]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5,
+            err_msg=f"lean std grad mismatch: {name}",
+        )
