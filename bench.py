@@ -128,6 +128,19 @@ def build_workload(key, n: int = N):
 
 LAYERS = 2  # convs sharing one geometry build, like a hierarchy level
 
+# Conv backward flavor (both are production configs, gradient-exact to
+# each other — tests/test_fused_equiv.py):
+#   BENCH_LEAN=1  lean inputs-only VJP (no [B,M,E,C] gathered-feature
+#                 residual; backward re-gathers and calls the backward
+#                 kernel) — the memory-lean default of big recipes
+#                 (ScanNet), where it replaces layer remat;
+#   BENCH_LEAN=0  XLA autodiff residuals (YAML `lean_vjp: false`) — ~5%
+#                 faster at these shapes (the backward re-gather is
+#                 row-op-latency bound) when the residuals fit HBM, as
+#                 they do at DFaust bench scale.  Measured r3 session I:
+#                 1.217M vs 1.157M pts/s.  Default: the faster config.
+LEAN = os.environ.get("BENCH_LEAN", "0") != "0"
+
 
 def make_bench(compute_dtype, n: int = N, s: int = S):
     def loss(feats, pts, frames, idx, pa, pb, w):
@@ -156,7 +169,7 @@ def make_bench(compute_dtype, n: int = N, s: int = S):
             x = ops.fused_equiv_conv(
                 pc, pc, neigh, x, pa, pb, w,
                 jnp.asarray(10.0), jnp.asarray(1.0 / K),
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, lean_vjp=LEAN,
             )  # [B, N, F, CO] feeds the next conv (CO == CI)
             total = total + jnp.sum(x * x)
         return total
@@ -266,6 +279,7 @@ def _result_payload(pts_per_sec, sec_per_step, dtype, n: int = N,
         "mfu_vs_bf16_peak": round(mfu, 4),
         "dtype": "bf16" if dtype else "f32",
         "kernel": "pallas_fused",
+        "conv_vjp": "lean" if LEAN else "autodiff",
         "points": n,
         "steps_per_exec": s,
         "convs_per_geometry": LAYERS,

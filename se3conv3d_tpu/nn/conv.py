@@ -105,6 +105,13 @@ class PNEConv(nn.Module):
     # 6D relative rotations — everything the shipped configs use; other
     # combinations fall back to the XLA path.
     use_fused: Optional[bool] = None
+    # Inputs-only VJP on the fused path (ops/pne_conv.py:_lean_equiv): no
+    # [B,M,E,C] gathered-feature residual, no layer remat needed — the
+    # backward re-gathers and calls the backward kernel directly.  That
+    # re-gather costs ~5% at DFaust bench shapes (row-op-latency bound;
+    # measured r3 session I), so small recipes whose residuals fit HBM
+    # may set False to trade memory for that 5%.
+    lean_vjp: bool = True
 
     @nn.compact
     def __call__(
@@ -225,7 +232,7 @@ class PNEConv(nn.Module):
                         proj_axes, proj_biases, w_c,
                         norm_dist, norm_neighs,
                         act=act_name, rel_rot_type=self.rel_rot_type,
-                        compute_dtype=cdt, lean_vjp=True,
+                        compute_dtype=cdt, lean_vjp=self.lean_vjp,
                     )
                     for w_c in _o_chunks()
                 ]
@@ -249,7 +256,7 @@ class PNEConv(nn.Module):
                     pc_in, pc_out, neigh, features,
                     proj_axes, proj_biases, w_c,
                     norm_dist, norm_neighs, act=act_name, compute_dtype=cdt,
-                    lean_vjp=True,
+                    lean_vjp=self.lean_vjp,
                 )
                 for w_c in _o_chunks()
             ]
@@ -303,6 +310,9 @@ class ConvFactory:
     # there would only re-run the forward Pallas kernel for nothing —
     # measured ~20-30 ms per big conv at ScanNet scale.
     remat: bool = True
+    # See PNEConv.lean_vjp; False restores autodiff residuals (and remat,
+    # if set) on the fused path.
+    lean_vjp: bool = True
 
     def _will_fuse(self) -> bool:
         """Static mirror of PNEConv's fused-path dispatch (see
@@ -320,7 +330,7 @@ class ConvFactory:
 
     def make(self, in_features: int, out_features: int, name: Optional[str] = None) -> PNEConv:
         cls = PNEConv
-        if self.remat and not self._will_fuse():
+        if self.remat and not (self._will_fuse() and self.lean_vjp):
             # self = argnum 0; `calibrate` (a python bool) = argnum 5.
             cls = nn.remat(PNEConv, static_argnums=(5,))
         return cls(
@@ -333,5 +343,6 @@ class ConvFactory:
             aggregation=self.aggregation,
             compute_dtype=self.compute_dtype,
             use_fused=self.use_fused,
+            lean_vjp=self.lean_vjp,
             name=name,
         )

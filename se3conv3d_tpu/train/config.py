@@ -9,7 +9,9 @@ optional keys extend the ``Model`` section:
 
   * ``capacities`` / ``out_capacity``: static per-level point capacities
     (default: ``num_points`` halved per level),
-  * ``max_neighbors``: static ball-query cap (default 32).
+  * ``max_neighbors``: static ball-query cap (default 32),
+  * ``lean_vjp``: inputs-only conv VJP on the fused path (default true;
+    false = autodiff residuals + remat, ~5% faster when memory allows).
 
 Augmentation configs are Python modules exporting ``DS_AUGMENTS`` lists
 imported by dotted path, exactly like the reference (``:32-39``).
@@ -140,6 +142,17 @@ def build_model_from_config(
             spec,
             conv=dataclasses.replace(spec.conv, compute_dtype=cdt),
             conv_blocks=dataclasses.replace(spec.conv_blocks, compute_dtype=cdt),
+        )
+    if "lean_vjp" in model_dict:
+        # False = autodiff residuals (+ remat) on the fused path: ~5%
+        # faster per conv but keeps [B,M,E,C] residuals — only for
+        # recipes whose activations fit HBM (see ConvFactory.lean_vjp).
+        lv = bool(model_dict["lean_vjp"])
+        spec = dataclasses.replace(
+            spec,
+            conv=dataclasses.replace(spec.conv, lean_vjp=lv),
+            conv_blocks=None if spec.conv_blocks is None
+            else dataclasses.replace(spec.conv_blocks, lean_vjp=lv),
         )
     if name in SEG_PRESETS:
         return FPNSegUNet(spec, num_in_feats=num_in_feats, num_classes=num_classes)

@@ -63,6 +63,41 @@ def test_model_overrides_apply():
     assert model.spec.max_neighbors == 24
     assert model.spec.equivariant
 
+def test_lean_vjp_override():
+    """YAML `Model.lean_vjp: false` restores autodiff residuals + remat on
+    the fused path (ConvFactory.make wraps in nn.remat again)."""
+    from se3conv3d_tpu.nn.conv import ConvFactory, PNEConv
+
+    md = {
+        "model": "FPNSegUNetMLPGeluRotEqFAUST",
+        "init_subsample": 0.04,
+        "grid_subsamples": [0.05, 0.1],
+        "lean_vjp": False,
+    }
+    model = build_model_from_config(md, 1, 20)
+    assert model.spec.conv.lean_vjp is False
+    assert model.spec.conv_blocks.lean_vjp is False
+    # Default (no key): lean stays on.
+    del md["lean_vjp"]
+    model = build_model_from_config(md, 1, 20)
+    assert model.spec.conv.lean_vjp is True
+
+    # Factory: fused + lean -> bare PNEConv (inputs-only residuals need no
+    # remat); lean off -> remat-wrapped class; non-fused configs keep remat
+    # regardless.
+    # use_fused=True: on the CPU test backend the auto-dispatch would
+    # pick the XLA path and remat unconditionally.
+    fused = dict(pne_type="mlp_gelu", equivariant=True, remat=True,
+                 use_fused=True)
+    lean = ConvFactory(**fused, lean_vjp=True).make(8, 8)
+    assert type(lean) is PNEConv and lean.lean_vjp is True
+    fat = ConvFactory(**fused, lean_vjp=False).make(8, 8)
+    assert type(fat) is not PNEConv  # nn.remat subclass
+    kp = ConvFactory(pne_type="kp_gauss", equivariant=False, remat=True,
+                     lean_vjp=True).make(8, 8)
+    assert type(kp) is not PNEConv
+
+
 def test_compute_dtype_override():
     md = {
         "model": "FPNSegUNetMLPGeluRotEqFAUST",
