@@ -360,11 +360,14 @@ def build_hierarchy(
         out_pc = attach_frames(
             keys[k_i], out_pc, config.frames,
             # out_cell_size=None means the RAW cloud is the output
-            # (classification); its spacing is unknown but those clouds
-            # are small enough for the brute-force path, so the hint
-            # only matters for the subsampled (out_cell_size) case.
-            spacing=SUBSAMPLED_SPACING_FACTOR
-            * (config.out_cell_size or config.init_cell_size),
+            # (classification); its spacing is UNKNOWN — it is denser
+            # than any subsampled level, so hinting a level's cell size
+            # would over-size the grid cells (at-cap rows, coarse-
+            # overflow recall loss).  No hint = exact brute-force kNN at
+            # any size; callers with huge raw outputs should set
+            # out_cell_size (ScanNet does).
+            spacing=None if config.out_cell_size is None
+            else SUBSAMPLED_SPACING_FACTOR * config.out_cell_size,
         )
 
     return hierarchy, level0_features, out_pc, out_labels, raw_to_out

@@ -245,7 +245,15 @@ def knn_neighborhood(
     through its payload sorts, so PCA frame construction downstream needs
     no M*K-row position gather (``core.frames.pca_frames_from_components``).
     """
-    if grid_cell_size is not None and src.capacity >= GRID_AUTO_THRESHOLD:
+    # Like the ball query below: grid beats brute force when EITHER side
+    # is large (brute cost is src x query distance rows + a top-k sort
+    # over all sources per query; grid cost is ~8-27 candidate-row
+    # gathers per query).  A kNN from a few-k-point coarse level into a
+    # 131k query cloud must not run brute.
+    if grid_cell_size is not None and (
+        src.capacity >= GRID_AUTO_THRESHOLD
+        or query.capacity >= GRID_AUTO_THRESHOLD
+    ):
         # Fine pass: 2x2x2 window over cells of 2 * (KNN_CELL_FACTOR x
         # spacing).  Guaranteed coverage is KNN_CELL_FACTOR = 2.45 x
         # spacing in every direction (the w2 construction) > the ~2.26 x

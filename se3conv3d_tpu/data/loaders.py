@@ -433,16 +433,31 @@ class ScanNetDataset:
         return out
 
 
-def mix3d_merge(samples: Sequence[Dict[str, np.ndarray]]) -> List[Dict[str, np.ndarray]]:
+def mix3d_merge(
+    samples: Sequence[Dict[str, np.ndarray]],
+    capacity: Optional[int] = None,
+) -> List[Dict[str, np.ndarray]]:
     """Merge consecutive scenes flagged ``mix3d`` into one batch element
     (Mix3D scene mixing; reference ScanNet collate,
     ``loaders/ScanNet.py:104-130``: a flagged scene is concatenated with
-    the next one, at most two scenes per element)."""
+    the next one, at most two scenes per element).
+
+    ``capacity``: skip merges whose combined point count would overflow
+    the padded per-element capacity.  The reference is ragged and never
+    faces this; in the padded design two budget-packed scenes can exceed
+    ``capacities[0]`` (e.g. pts_per_batch 2x the capacity), and an
+    unmergeable pair must stay two elements rather than crash
+    ``pad_collate``."""
     merged: List[Dict[str, np.ndarray]] = []
     i = 0
     while i < len(samples):
         cur = samples[i]
-        if bool(cur.get("mix3d", False)) and i + 1 < len(samples):
+        fits = capacity is None or (
+            i + 1 < len(samples)
+            and cur["positions"].shape[0]
+            + samples[i + 1]["positions"].shape[0] <= capacity
+        )
+        if bool(cur.get("mix3d", False)) and i + 1 < len(samples) and fits:
             nxt = samples[i + 1]
             out = {}
             for k in cur:

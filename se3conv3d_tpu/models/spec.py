@@ -180,18 +180,13 @@ class NeighborhoodProvider:
         ):
             return neigh
         from ..ops import pne_conv as _ops
+        from ..nn.conv import fused_dispatch
 
         conv = self.spec.conv
-        use_fused = conv.use_fused
-        if use_fused is None:
-            use_fused = jax.default_backend() != "cpu"
-        fused_ok = (
-            "mlp" in conv.pne_type
-            and not conv.pne_type.endswith("softmax")
-            and conv.aggregation == "add"
-            and conv.rel_rot_type == "6D"
-        )
-        if use_fused and fused_ok:
+        if fused_dispatch(
+            conv.pne_type, conv.aggregation, conv.equivariant,
+            conv.rel_rot_type, conv.use_fused,
+        ):
             if not multi_use:
                 # single-conv neighborhood (decoder / FPN / seg-head /
                 # down convs): the fused conv fuses the geometry build

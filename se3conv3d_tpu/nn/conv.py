@@ -34,12 +34,40 @@ from ..core.pointcloud import PointCloud
 from ..ops import pne_conv as ops
 from .icosphere import icosphere_points
 
-__all__ = ["PNEConv", "ConvFactory"]
+__all__ = ["PNEConv", "ConvFactory", "fused_dispatch"]
 
 # Max conv-weight elements (C*Q*O) per fused-kernel call: W2 and its grad
 # accumulator stay VMEM-resident.  Wider convs are O-chunked in dispatch —
 # the cutoff does NOT change which path runs (tests monkeypatch it).
 FUSED_WEIGHT_VMEM_CUTOFF = 2 * 1024 * 1024
+
+
+def fused_dispatch(
+    pne_type: str,
+    aggregation: str,
+    equivariant: bool,
+    rel_rot_type: str,
+    use_fused: Optional[bool],
+) -> bool:
+    """Single source of truth for the fused-Pallas-path predicate.
+
+    Consumed by ``PNEConv.__call__`` (the actual dispatch),
+    ``ConvFactory.make`` (remat policy) and
+    ``NeighborhoodProvider._attach_equiv_geometry`` (which cache payload
+    to build) — these MUST agree, and the predicate must stay
+    shape-independent so the provider's trace-time choice matches every
+    layer on the neighborhood.  ``use_fused=None`` auto-selects by
+    backend (the Pallas kernel is TPU-only).
+    """
+    fused_ok = (
+        "mlp" in pne_type
+        and not pne_type.endswith("softmax")
+        and aggregation == "add"
+        and (not equivariant or rel_rot_type == "6D")
+    )
+    if use_fused is None:
+        use_fused = jax.default_backend() != "cpu"
+    return fused_ok and use_fused
 
 
 def _uniform_init(stddev: float):
@@ -192,17 +220,11 @@ class PNEConv(nn.Module):
         act = ops.pne_activation(self.pne_type) if "mlp" in self.pne_type else None
 
         cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
-        fused_ok = (
-            "mlp" in self.pne_type
-            and not self.pne_type.endswith("softmax")
-            and self.aggregation == "add"
-            and (not self.equivariant or self.rel_rot_type == "6D")
+        use_fused = fused_dispatch(
+            self.pne_type, self.aggregation, self.equivariant,
+            self.rel_rot_type, self.use_fused,
         )
-        use_fused = self.use_fused
-        if use_fused is None:
-            use_fused = jax.default_backend() != "cpu"
-        use_fused = use_fused and fused_ok
-        act_name = self.pne_type.split("_")[-1] if fused_ok else None
+        act_name = self.pne_type.split("_")[-1] if use_fused else None
 
         # The kernel keeps W2 [G*Q, C, O] (+ its grad accumulator) resident
         # in VMEM; wide-channel convs split the O axis into <=2M-element
@@ -315,22 +337,24 @@ class ConvFactory:
     lean_vjp: bool = True
 
     def _will_fuse(self) -> bool:
-        """Static mirror of PNEConv's fused-path dispatch (see
-        ``fused_ok`` in ``PNEConv.__call__``)."""
-        fused_ok = (
-            "mlp" in self.pne_type
-            and not self.pne_type.endswith("softmax")
-            and self.aggregation == "add"
-            and (not self.equivariant or self.rel_rot_type == "6D")
+        return fused_dispatch(
+            self.pne_type, self.aggregation, self.equivariant,
+            self.rel_rot_type, self.use_fused,
         )
-        use = self.use_fused
-        if use is None:
-            use = jax.default_backend() != "cpu"
-        return fused_ok and use
 
     def make(self, in_features: int, out_features: int, name: Optional[str] = None) -> PNEConv:
         cls = PNEConv
-        if self.remat and not (self._will_fuse() and self.lean_vjp):
+        # Lean inputs-only residuals only materialize on the fused path
+        # AND outside 'sorted' backward mode (fused_equiv_conv falls back
+        # to autodiff residuals when sorted tables are attached,
+        # ops/pne_conv.py) — everywhere else remat must stay on or the
+        # un-rematerialized [B,M,E,C] residuals OOM big recipes.
+        lean_effective = (
+            self.lean_vjp
+            and self._will_fuse()
+            and ops.BWD_SCATTER_MODE != "sorted"
+        )
+        if self.remat and not lean_effective:
             # self = argnum 0; `calibrate` (a python bool) = argnum 5.
             cls = nn.remat(PNEConv, static_argnums=(5,))
         return cls(

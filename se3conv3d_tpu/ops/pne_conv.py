@@ -503,9 +503,16 @@ def _sort_tables_for(neigh: Neighborhood, n_src: int, m: int, m_chunk: int):
     if BWD_SCATTER_MODE != "sorted":
         return None
     nch = max((m + m_chunk - 1) // m_chunk, 1) if m > m_chunk else 1
+    # Chunk COUNT alone can coincide across different m_chunk values
+    # (e.g. tables built at 16384 vs a conv chunking at 20000: both give
+    # nch=2 at m=32768) while the per-chunk edge partition differs —
+    # reusing such tables would mis-permute the backward silently, so the
+    # per-chunk edge length must match too.
+    mc_edges = min(m, m_chunk) * neigh.idx.shape[2]
     if (
         neigh.bwd_perm is not None
         and neigh.bwd_perm.shape[1] == nch
+        and neigh.bwd_perm.shape[2] == mc_edges
         and neigh.bwd_run_start.shape[2] == n_src
     ):
         return (neigh.bwd_perm, neigh.bwd_run_start, neigh.bwd_run_end)

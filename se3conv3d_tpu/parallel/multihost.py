@@ -58,9 +58,27 @@ def host_local(arr) -> np.ndarray:
     summaries are over the local slice (cross-host metric reduction is
     the caller's concern, and single-host runs are unaffected)."""
     if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
-        shards = sorted(
-            arr.addressable_shards, key=lambda s: s.index[0].start or 0
-        )
+        # Dedup replicated shards (same index on several local devices),
+        # then require that the distinct shards differ ONLY along the
+        # leading (batch) axis — concatenating along axis 0 would silently
+        # duplicate/mix rows for arrays sharded over a non-batch axis
+        # (e.g. the 2-D (data, points) mesh), where a per-host view of
+        # whole examples does not even exist.
+        by_index = {}
+        for s in arr.addressable_shards:
+            key = tuple((sl.start, sl.stop, sl.step) for sl in s.index)
+            by_index.setdefault(key, s)
+        shards = list(by_index.values())
+        if len(shards) == 1:
+            return np.asarray(shards[0].data)
+        if len({k[1:] for k in by_index}) > 1:
+            raise ValueError(
+                "host_local requires shards that differ only along the "
+                "leading (batch) axis; this array is sharded over a "
+                "non-batch axis — re-shard to batch-only (or replicated) "
+                "before fetching a host-local view"
+            )
+        shards.sort(key=lambda s: s.index[0].start or 0)
         return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
     return np.asarray(jax.device_get(arr))
 
@@ -110,17 +128,31 @@ def _empty_like_sample(sample: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 
 def pad_samples_to(
-    samples: List[Dict[str, np.ndarray]], target: int
+    samples: List[Dict[str, np.ndarray]],
+    target: int,
+    template: Optional[Dict[str, np.ndarray]] = None,
 ) -> List[Dict[str, np.ndarray]]:
     """Pad a local sample list to the agreed per-host count with empty
-    (all-masked) samples; no-op when already there."""
+    (all-masked) samples; no-op when already there.
+
+    ``template`` supplies the filler's key/shape structure when the local
+    list is EMPTY — with many hosts, a host's round-robin slice of a
+    small global batch (tail eval batches; point-budget batches that pack
+    a single big scene) legitimately holds zero examples, and that host
+    must still contribute ``target`` all-masked fillers to the global
+    assembly.
+    """
     if len(samples) > target:
         raise ValueError(
             f"{len(samples)} local samples exceed the agreed per-host "
             f"count {target}"
         )
     if not samples:
-        raise ValueError("cannot pad an empty local sample list")
+        if template is None:
+            raise ValueError(
+                "cannot pad an empty local sample list without a template"
+            )
+        return [_empty_like_sample(template) for _ in range(target)]
     filler = _empty_like_sample(samples[0])
     return samples + [filler] * (target - len(samples))
 

@@ -9,7 +9,9 @@ optional keys extend the ``Model`` section:
 
   * ``capacities`` / ``out_capacity``: static per-level point capacities
     (default: ``num_points`` halved per level),
-  * ``max_neighbors``: static ball-query cap (default 32),
+  * ``max_neighbors``: static ball-query cap (preset defaults: 24 for the
+    seg presets — measured lossless on grid-subsampled surface data — 32
+    for class/FAUST presets whose patch stem queries the raw cloud),
   * ``lean_vjp``: inputs-only conv VJP on the fused path (default true;
     false = autodiff residuals + remat, ~5% faster when memory allows).
 

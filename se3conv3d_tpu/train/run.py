@@ -219,7 +219,7 @@ class Experiment:
                 local_ids = process_slice(scene_ids)
                 target_b = local_batch_size(len(scene_ids))
                 samples = [dataset[i] for i in local_ids]
-                samples = mix3d_merge(samples)
+                samples = mix3d_merge(samples, capacity=self.capacity)
                 keep = ("positions", "features", "labels", "scene_id")
                 samples = [
                     {k: v for k, v in s.items() if k in keep} for s in samples
@@ -231,8 +231,16 @@ class Experiment:
                 # when mix3d merged nothing, so recompute locally there.
                 if jax.process_count() == 1:
                     target_b = len(samples)
+                # A host whose round-robin slice is empty (one-scene
+                # point-budget batches with many hosts) still contributes
+                # all-masked fillers shaped like a real sample.
+                template = samples[0] if samples else {
+                    k: v for k, v in dataset[scene_ids[0]].items() if k in keep
+                }
                 yield pad_collate(
-                    pad_samples_to(samples, max(target_b, len(samples))),
+                    pad_samples_to(
+                        samples, max(target_b, len(samples)), template
+                    ),
                     capacity=self.capacity,
                 )
         else:
@@ -243,8 +251,11 @@ class Experiment:
             for i in range(0, len(order) - bs + 1 if train else len(order), bs):
                 idx = process_slice(order[i : i + bs])
                 samples = [dataset[j] for j in idx]
+                # Tail eval batches can leave later hosts with an empty
+                # slice; any global example serves as the filler template.
+                template = samples[0] if samples else dataset[int(order[i])]
                 samples = pad_samples_to(
-                    samples, local_batch_size(min(bs, len(order) - i))
+                    samples, local_batch_size(min(bs, len(order) - i)), template
                 )
                 batch = pad_collate(samples, capacity=self.capacity)
                 if "label" in batch and "labels" not in batch:

@@ -108,3 +108,18 @@ def test_compute_dtype_override():
     model = build_model_from_config(md, 1, 20)
     assert model.spec.conv.compute_dtype == "bfloat16"
     assert model.spec.conv_blocks.compute_dtype == "bfloat16"
+
+
+def test_sorted_bwd_mode_keeps_remat(monkeypatch):
+    """SE3CONV_BWD_MODE=sorted disables the lean inputs-only VJP inside
+    the fused conv (sorted tables need the autodiff residual path), so
+    the factory must keep nn.remat on — otherwise every conv holds its
+    un-rematerialized [B,M,E,C] residuals and big recipes OOM."""
+    from se3conv3d_tpu.nn import conv as conv_mod
+    from se3conv3d_tpu.nn.conv import ConvFactory, PNEConv
+
+    f = ConvFactory(pne_type="mlp_gelu", equivariant=True, remat=True,
+                    use_fused=True, lean_vjp=True)
+    assert type(f.make(8, 8)) is PNEConv  # scatter mode: lean, no remat
+    monkeypatch.setattr(conv_mod.ops, "BWD_SCATTER_MODE", "sorted")
+    assert type(f.make(8, 8)) is not PNEConv  # sorted mode: remat again

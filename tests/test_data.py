@@ -184,6 +184,21 @@ def test_mix3d_merge():
     assert merged[1]["positions"].shape[0] == 5
 
 
+def test_mix3d_merge_respects_capacity():
+    """Two budget-packed scenes whose merge would exceed the padded
+    per-element capacity must stay two elements (the reference is ragged
+    and never faces this; pad_collate would crash on the oversize merge)."""
+    a = {"positions": _pts(10), "labels": np.zeros(10, np.int32), "mix3d": True,
+         "scene_id": np.int32(0)}
+    b = {"positions": _pts(20), "labels": np.ones(20, np.int32), "mix3d": False,
+         "scene_id": np.int32(1)}
+    merged = mix3d_merge([a, b], capacity=25)
+    assert len(merged) == 2  # 10 + 20 > 25: merge skipped
+    assert all("mix3d" not in s for s in merged)
+    merged = mix3d_merge([a, b], capacity=30)
+    assert len(merged) == 1  # exactly fits
+
+
 class _FakeDS:
     def __init__(self, sizes):
         self.sizes = sizes

@@ -86,3 +86,34 @@ def test_grid_search_jits_and_handles_padding():
         assert (sel < valid_n).all()
     # Padded queries have no edges.
     assert not np.asarray(nb.mask[1])[100:].any()
+
+
+def test_knn_grid_dispatch_considers_query_side(monkeypatch):
+    """kNN must dispatch to the grid when EITHER side is large (like the
+    ball query): a small-src -> large-query request (decoder/FPN shapes)
+    would otherwise run the O(src x query) brute path."""
+    from se3conv3d_tpu.core import neighborhoods as NB
+
+    src = _cloud(jax.random.PRNGKey(7), b=1, n=300, scale=2.0)
+    query = _cloud(jax.random.PRNGKey(8), b=1, n=600, scale=2.0)
+    k = 8
+    brute = NB.knn_neighborhood(src, query, k)  # no hint: brute oracle
+
+    monkeypatch.setattr(NB, "GRID_AUTO_THRESHOLD", 400)
+    calls = []
+    orig = NB.grid_knn_cell_size
+    monkeypatch.setattr(
+        NB, "grid_knn_cell_size",
+        lambda *a, **kw: (calls.append(1), orig(*a, **kw))[1],
+    )
+    # src=300 < 400 <= query=600: the query side must trigger the grid.
+    grid = NB.knn_neighborhood(src, query, k, grid_cell_size=0.3)
+    assert calls
+
+    match = total = 0
+    for m in range(600):
+        e = {int(i) for i, v in zip(brute.idx[0, m], brute.mask[0, m]) if v}
+        g = {int(i) for i, v in zip(grid.idx[0, m], grid.mask[0, m]) if v}
+        total += len(e)
+        match += len(e & g)
+    assert match / total > 0.995

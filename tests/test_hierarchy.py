@@ -115,3 +115,32 @@ def test_hierarchy_pool_upsample_roundtrip():
                 np.testing.assert_allclose(
                     np.asarray(up[b, i]), np.asarray(f0[b, i]), atol=1e-5
                 )
+
+
+def test_raw_out_cloud_attaches_frames_without_spacing_hint(monkeypatch):
+    """out_cell_size=None means the RAW cloud is the output; its spacing
+    is unknown (denser than any level), so the frame attach must get NO
+    grid hint (exact brute-force kNN) — a level-derived hint over-sizes
+    the grid cells and silently costs recall on 8k-32k raw clouds."""
+    import dataclasses
+
+    from se3conv3d_tpu.core import hierarchy as H
+
+    captured = []
+    orig = H.attach_frames
+
+    def spy(key, pc, cfg, spacing=None):
+        captured.append(spacing)
+        return orig(key, pc, cfg, spacing=spacing)
+
+    monkeypatch.setattr(H, "attach_frames", spy)
+    pts, mask, feats, _ = _inputs(jax.random.PRNGKey(3))
+
+    build_hierarchy(jax.random.PRNGKey(4), pts, mask, feats, CFG)
+    assert captured[-1] is not None  # subsampled out cloud: hinted
+    np.testing.assert_allclose(captured[-1], 1.3 * 0.08)
+
+    captured.clear()
+    raw_cfg = dataclasses.replace(CFG, out_cell_size=None, out_capacity=None)
+    build_hierarchy(jax.random.PRNGKey(4), pts, mask, feats, raw_cfg)
+    assert captured[-1] is None  # raw out cloud: no hint, brute force

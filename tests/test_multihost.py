@@ -100,3 +100,17 @@ def test_classification_loss_ignores_fillers():
     full = classification_loss(logits[:2], labels[:2])
     masked = classification_loss(logits, labels, example_mask=em)
     np.testing.assert_allclose(float(full), float(masked), rtol=1e-6)
+
+
+def test_pad_empty_slice_with_template():
+    """A host whose round-robin slice of a small global batch is empty
+    (e.g. one-scene point-budget batches with several hosts) still
+    supplies `target` all-masked fillers shaped by the template."""
+    template = _sample(40, 0)
+    padded = pad_samples_to([], 2, template)
+    assert len(padded) == 2
+    batch = pad_collate(padded, capacity=64)
+    assert batch["positions"].shape == (2, 64, 3)
+    assert batch["mask"].sum() == 0  # pure filler: invisible to loss
+    with pytest.raises(ValueError):
+        pad_samples_to([], 2)  # no template -> explicit error

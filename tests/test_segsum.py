@@ -176,3 +176,49 @@ def test_full_model_fused_sorted_train_step(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=2e-3, atol=1e-4
         )
+
+
+def test_stale_sort_tables_with_matching_chunk_count_are_rebuilt(monkeypatch):
+    """Cached sorted-edge tables whose chunk COUNT matches but whose
+    per-chunk edge length differs from the conv's m_chunk must be
+    rebuilt, not reused — reuse would mis-permute the backward silently.
+    m=96: tables at m_chunk=32 (3 chunks of 32) vs a conv at m_chunk=40
+    (3 chunks of 40)."""
+    import se3conv3d_tpu.ops.pne_conv as pc_ops
+    from se3conv3d_tpu.core import neighborhoods as NB
+    from se3conv3d_tpu.core import rotation as R
+    from se3conv3d_tpu.core.pointcloud import PointCloud
+
+    m, f, k = 96, 2, 6
+    pos = jax.random.normal(jax.random.PRNGKey(20), (1, m, 3))
+    frames = R.random_rotations(jax.random.PRNGKey(21), m * f).reshape(
+        1, m, f, 3, 3
+    )
+    pc = PointCloud(positions=pos, mask=jnp.ones((1, m), bool), frames=frames)
+    nb = NB.knn_neighborhood(pc, pc, k=k)
+    stale = pc_ops.backward_sort_tables(nb, m, m_chunk=32)
+    assert stale.bwd_perm.shape[1:] == (3, 32 * k)
+
+    monkeypatch.setattr(pc_ops, "BWD_SCATTER_MODE", "sorted")
+    # the validity check must reject the 32-edge-chunk tables at m_chunk=40
+    tabs = pc_ops._sort_tables_for(stale, m, m, m_chunk=40)
+    assert tabs[0].shape[1:] == (3, 40 * k)
+
+    feats = jax.random.normal(jax.random.PRNGKey(22), (1, m, f, 5))
+    pa = jax.random.normal(jax.random.PRNGKey(23), (9, 8)) * 0.3
+    pb = jax.random.normal(jax.random.PRNGKey(24), (8,)) * 0.02
+    w = jax.random.normal(jax.random.PRNGKey(25), (5, 8, 7)) * 0.1
+
+    def loss(neigh, mc, x):
+        out = pc_ops.fused_equiv_conv(
+            pc, pc, neigh, x, pa, pb, w,
+            jnp.asarray(3.0), jnp.asarray(0.2), m_chunk=mc,
+        )
+        return jnp.sum(out * out)
+
+    g_stale = jax.grad(loss, argnums=2)(stale, 40, feats)
+    monkeypatch.setattr(pc_ops, "BWD_SCATTER_MODE", "scatter")
+    g_ref = jax.grad(loss, argnums=2)(nb, 40, feats)
+    np.testing.assert_allclose(
+        np.asarray(g_stale), np.asarray(g_ref), rtol=1e-4, atol=1e-4
+    )
