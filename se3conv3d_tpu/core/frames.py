@@ -443,7 +443,11 @@ def shuffle_and_select_frames(
     Returns:
       ``[..., n_frames, 3, 3]``.
     """
-    s = frames.shape[-3]
+    if n_frames > frames.shape[-3]:
+        raise ValueError(
+            f"n_frames={n_frames} exceeds the {frames.shape[-3]} candidate "
+            "frames (4 free / 2 fixed-axis PCA candidates)"
+        )
     scores = jax.random.uniform(key, frames.shape[:-2])  # [..., S]
     perm = jnp.argsort(scores, axis=-1)[..., :n_frames]
     return jnp.take_along_axis(frames, perm[..., None, None], axis=-3)

@@ -112,6 +112,9 @@ class CenterAug(Augmentation):
     (reference ``CenterAug.py``; always applied, prob 1)."""
 
     def __init__(self, p_axes=(True, True, True), p_method="mean", **kw):
+        # always applied: a configured p_prob is swallowed, exactly like
+        # the reference constructor (CenterAug.py:24 forces 1.0)
+        kw.pop("p_prob", None)
         super().__init__(p_prob=1.0, **kw)
         self.axes_ = np.asarray(p_axes, bool)
         self.method_ = p_method
@@ -253,6 +256,7 @@ class STDDevNormAug(Augmentation):
     reference ``STDDevNormAug.py``)."""
 
     def __init__(self, p_new_std=1.0, **kw):
+        kw.pop("p_prob", None)  # always applied (reference STDDevNormAug)
         super().__init__(p_prob=1.0, **kw)
         self.stddev_ = p_new_std
 
@@ -278,8 +282,15 @@ class DropAug(Augmentation):
     def __call__(self, rng, pts, extras):
         keep = rng.random(pts.shape[0]) > self.drop_prob_
         if self.keep_zeros_:
-            m = keep[:, None].astype(pts.dtype)
-            fn = lambda t: t * m + (1.0 - m)  # noqa: E731 (reference fills with 1)
+            kf = keep.astype(pts.dtype)
+
+            def fn(t):
+                # broadcast against t's rank: an [N,1] mask on a 1-D
+                # extra (labels/segments) would silently explode to
+                # [N,N] (reference fills dropped rows with 1)
+                m = kf.reshape((-1,) + (1,) * (t.ndim - 1)).astype(t.dtype)
+                return t * m + (1 - m)
+
             return fn(pts), (keep,), self._map_extras(extras, fn)
         return pts[keep], (keep,), self._subset_extras(extras, keep)
 

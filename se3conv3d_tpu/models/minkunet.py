@@ -215,5 +215,7 @@ class MinkUNet34A(nn.Module):
         h = nn.Conv(PLANES[8], kernel_size=(1,) * 3, use_bias=False)(x)
         h = _MaskedBN(PLANES[8])(h, occ0, train)
         h = nn.relu(h)
-        logits = nn.Conv(self.num_classes, kernel_size=(1,) * 3, use_bias=True)(h)
+        # no bias: reference out_pred_2 is a MinkowskiConvolution with the
+        # default bias=False (MinkUNet.py:248-252)
+        logits = nn.Conv(self.num_classes, kernel_size=(1,) * 3, use_bias=False)(h)
         return devoxelize(logits, flat_idx)

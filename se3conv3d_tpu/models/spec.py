@@ -182,11 +182,28 @@ class NeighborhoodProvider:
         from ..ops import pne_conv as _ops
         from ..nn.conv import fused_dispatch
 
-        conv = self.spec.conv
-        if fused_dispatch(
-            conv.pne_type, conv.aggregation, conv.equivariant,
-            conv.rel_rot_type, conv.use_fused,
-        ):
+        def _fused(fac):
+            return fused_dispatch(
+                fac.pne_type, fac.aggregation, fac.equivariant,
+                fac.rel_rot_type, fac.use_fused,
+            )
+
+        # Which factories consume this neighborhood?  Self (multi_use)
+        # neighborhoods feed the level's block stack (``conv_blocks``)
+        # AND, at the first trunk level, the patch stem's self conv
+        # (``conv`` — same cache key when patch_radius_scale ==
+        # radius_scale_blocks); cross-level neighborhoods feed ``conv``
+        # convs only.  The payload must serve every consumer: a mismatch
+        # (wrong dtype, or missing rel/rot for a non-fused conv) makes
+        # that conv silently rebuild its geometry every call, including
+        # in rematerialized backwards.
+        facs = (
+            [self.spec.conv_blocks, self.spec.conv]
+            if multi_use else [self.spec.conv]
+        )
+        fused_facs = [fc for fc in facs if _fused(fc)]
+        plain_facs = [fc for fc in facs if not _fused(fc)]
+        if fused_facs:
             if not multi_use:
                 # single-conv neighborhood (decoder / FPN / seg-head /
                 # down convs): the fused conv fuses the geometry build
@@ -194,18 +211,22 @@ class NeighborhoodProvider:
                 # latency-bound row-gather pass instead of two), which
                 # beats a pre-built cache consumed once.
                 return neigh
-            # the fused path's cache payload: packed transposed geometry
-            # only an actual bf16 request selects the bf16 (hi/lo split)
-            # cache table — an explicit float32 compute_dtype must match
-            # the uncached f32 geometry exactly
+            # the fused path's cache payload: packed transposed geometry.
+            # The dtype follows the leading consumer (conv_blocks — the
+            # block stack dominates); only an actual bf16 request selects
+            # the bf16 (hi/lo split) cache table — an explicit float32
+            # compute_dtype must match the uncached f32 geometry exactly,
+            # and a consumer requesting the OTHER dtype rebuilds locally
+            # (dtype guard in fused_equiv_conv).
+            lead = fused_facs[0]
             geo_dt = (
                 "bfloat16"
-                if conv.compute_dtype
-                and jax.numpy.dtype(conv.compute_dtype) == jax.numpy.bfloat16
+                if lead.compute_dtype
+                and jax.numpy.dtype(lead.compute_dtype) == jax.numpy.bfloat16
                 else None
             )
             geo_t = _ops.packed_equiv_geometry(
-                src_pc, dst_pc, neigh, geo_dt, conv.rel_rot_type
+                src_pc, dst_pc, neigh, geo_dt, lead.rel_rot_type
             )
             neigh = neigh.replace(equiv_geo_t=geo_t)
             if _ops.BWD_SCATTER_MODE == "sorted":
@@ -213,11 +234,13 @@ class NeighborhoodProvider:
                 neigh = _ops.backward_sort_tables(
                     neigh, src_pc.positions.shape[1]
                 )
-            return neigh
-        rel, rot = _ops.equiv_geometry_parts(
-            src_pc, dst_pc, neigh, self.spec.conv.rel_rot_type
-        )
-        return neigh.replace(equiv_rel=rel, equiv_rot=rot)
+        if plain_facs:
+            # XLA-path consumers read equiv_rel / equiv_rot.
+            rel, rot = _ops.equiv_geometry_parts(
+                src_pc, dst_pc, neigh, plain_facs[0].rel_rot_type
+            )
+            neigh = neigh.replace(equiv_rel=rel, equiv_rot=rot)
+        return neigh
 
     def get(
         self, src: int, dst: int, radius: float, neigh_type: str, k: int

@@ -905,6 +905,15 @@ def fused_equiv_conv(
         [proj_axes[:3] * norm_dist, proj_axes[3:]], axis=0
     )
     cached = neigh.equiv_geo_t
+    # The cached packed geometry carries the compute dtype it was built
+    # for (packed_equiv_geometry); a conv requesting a DIFFERENT dtype
+    # must rebuild rather than silently degrade (bf16 cache into an f32
+    # conv) or widen (f32 cache into a bf16 kernel operand) — possible
+    # when ``conv`` and ``conv_blocks`` factories disagree on
+    # compute_dtype and share a self-neighborhood.
+    want_geo = jnp.bfloat16 if geo_dt == jnp.bfloat16 else jnp.float32
+    if cached is not None and cached.dtype != want_geo:
+        cached = None
     table = None
     if cached is None:
         table = _equiv_geo_table(

@@ -126,8 +126,6 @@ class SegmentationVoter:
         smooth: bool = False,
     ):
         m = SemSegMetrics.empty(self.num_classes)
-        import jax.numpy as jnp
-
         for i, labels in enumerate(full_labels):
             logits = self.accum[i]
             if logits is None or labels is None:
@@ -136,7 +134,10 @@ class SegmentationVoter:
                 logits = segment_smooth(logits, segments[i])
             voted = logits.argmax(-1)
             seen = logits.sum(-1) != 0
-            m = m.update(jnp.asarray(voted), jnp.asarray(labels), jnp.asarray(seen))
+            # host-side accumulation: the logits/labels already live on
+            # host, and eager per-scene jnp ops would round-trip the
+            # tunnel-attached device (update_np docstring)
+            m = m.update_np(voted, labels, seen)
         return m.summary(class_mask)
 
 

@@ -76,6 +76,34 @@ class SemSegMetrics(struct.PyTreeNode):
             pred_count=self.pred_count + pred_cnt,
         )
 
+    def update_np(self, pred, labels, mask) -> "SemSegMetrics":
+        """Host-side numpy accumulation (same counts as ``update``).
+
+        The voting evaluators accumulate per scene from HOST-resident
+        logits; the jitted ``update`` would run its one_hot ops eagerly
+        there — one device round-trip per op with ``[N, C]`` integer
+        intermediates (~1 GB for a 1.5M-pt scannet200 scene).  bincount
+        on host does the same counting.  Out-of-range labels contribute
+        nothing (mirrors one_hot's zero rows for invalid ids)."""
+        c = self.num_classes
+        pred = np.asarray(pred).reshape(-1)
+        labels = np.asarray(labels).reshape(-1)
+        m = np.asarray(mask).reshape(-1).astype(bool)
+        pred, labels = pred[m], labels[m]
+        dt = np.asarray(self.intersection).dtype
+        pred_cnt = np.bincount(pred, minlength=c)[:c].astype(dt)
+        lab_ok = (labels >= 0) & (labels < c)
+        gt_cnt = np.bincount(labels[lab_ok], minlength=c)[:c].astype(dt)
+        inter = np.bincount(
+            labels[lab_ok & (pred == labels)], minlength=c
+        )[:c].astype(dt)
+        return self.replace(
+            intersection=np.asarray(self.intersection) + inter,
+            union=np.asarray(self.union) + pred_cnt + gt_cnt - inter,
+            gt_count=np.asarray(self.gt_count) + gt_cnt,
+            pred_count=np.asarray(self.pred_count) + pred_cnt,
+        )
+
     def summary(self, class_mask: Optional[Sequence[bool]] = None) -> dict:
         """Host-side per-class + mean IoU / accuracy.
 

@@ -222,3 +222,33 @@ def test_max_points_sampler_respects_budget():
     for b in batches:
         assert len(b) >= 1
         assert sum(capped[i] for i in b) <= 250_000 + 120_000  # greedy bound
+
+
+def test_always_applied_augs_swallow_p_prob():
+    """Reference aug configs may carry p_prob for the always-applied augs
+    (their constructors swallow it via **kwargs); ported configs must not
+    crash here (CenterAug.py:24, STDDevNormAug.py force prob 1.0)."""
+    from se3conv3d_tpu.data.augment import CenterAug, STDDevNormAug
+
+    aug = CenterAug(p_prob=0.5, p_axes=[True, True, True])
+    assert aug.prob_ == 1.0
+    aug = STDDevNormAug(p_prob=0.5)
+    assert aug.prob_ == 1.0
+
+
+def test_dropaug_keep_zeros_preserves_1d_extras():
+    """keep_zeros fills dropped rows with 1 in every extra; a 1-D extra
+    (labels/segments) must keep its shape instead of broadcasting to
+    [N, N]."""
+    from se3conv3d_tpu.data.augment import DropAug
+
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((50, 3)).astype(np.float32)
+    labels = np.arange(50, dtype=np.int64)
+    aug = DropAug(p_drop_prob=0.5, p_keep_zeros=True,
+                  p_apply_extra_tensors=[True])
+    out, (keep,), (lab,) = aug(rng, pts, [labels])
+    assert out.shape == (50, 3) and lab.shape == (50,)
+    np.testing.assert_array_equal(lab[keep], labels[keep])
+    assert (lab[~keep] == 1).all()
+    assert (out[~keep] == 1.0).all()

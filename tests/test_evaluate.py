@@ -277,3 +277,27 @@ def test_pad_collate_oversize_raises():
         assert "exceeds" in str(e)
     else:
         raise AssertionError("expected ValueError for over-capacity sample")
+
+
+def test_metrics_update_np_matches_device_update():
+    """The voters' host-side numpy accumulation must produce the same
+    counts as the jitted device update (incl. out-of-range labels, which
+    one_hot drops)."""
+    from se3conv3d_tpu.train.metrics import SemSegMetrics
+
+    rng = np.random.default_rng(3)
+    c = 5
+    pred = rng.integers(0, c, 200)
+    labels = rng.integers(-1, c + 1, 200)  # includes -1 and c (invalid)
+    mask = rng.random(200) > 0.3
+
+    dev = SemSegMetrics.empty(c).update(
+        jnp.asarray(pred), jnp.asarray(labels), jnp.asarray(mask)
+    )
+    host = SemSegMetrics.empty(c).update_np(pred, labels, mask)
+    for f in ("intersection", "union", "gt_count", "pred_count"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(dev, f)), np.asarray(getattr(host, f)), f
+        )
+    s_dev, s_host = dev.summary(), host.summary()
+    assert s_dev["miou"] == s_host["miou"]

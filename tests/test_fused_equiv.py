@@ -279,3 +279,36 @@ def test_lean_vjp_matches_autodiff_standard(m_chunk):
             np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5,
             err_msg=f"lean std grad mismatch: {name}",
         )
+
+
+def test_mismatched_cache_dtype_is_rebuilt():
+    """A cached geo_t built for the OTHER compute dtype must be ignored
+    (rebuilt locally), not consumed: a bf16 cache in an f32 conv would
+    silently degrade the geometry; an f32 cache in a bf16 conv would feed
+    the kernel a mismatched operand dtype.  Possible when conv and
+    conv_blocks factories disagree on compute_dtype and share a
+    self-neighborhood."""
+    pc, neigh, feats, pa, pb, w = _setup(jax.random.PRNGKey(8))
+    nd, nn = jnp.asarray(3.0), jnp.asarray(0.11)
+    ref_f32 = _fused_equiv(pc, neigh, feats, pa, pb, w, nd, nn)
+
+    geo_bf16 = ops.packed_equiv_geometry(pc, pc, neigh, "bfloat16")
+    neigh_bf16 = neigh.replace(equiv_geo_t=geo_bf16)
+    # f32 request with a bf16 cache attached: identical to uncached f32
+    got = ops.fused_equiv_conv(
+        pc, pc, neigh_bf16, feats, pa, pb, w, nd, nn, tile_m=32
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_f32), atol=1e-6)
+
+    # bf16 request with an f32 cache attached: identical to uncached bf16
+    geo_f32 = ops.packed_equiv_geometry(pc, pc, neigh, None)
+    neigh_f32 = neigh.replace(equiv_geo_t=geo_f32)
+    ref_bf16 = ops.fused_equiv_conv(
+        pc, pc, neigh, feats, pa, pb, w, nd, nn, tile_m=32,
+        compute_dtype=jnp.bfloat16,
+    )
+    got = ops.fused_equiv_conv(
+        pc, pc, neigh_f32, feats, pa, pb, w, nd, nn, tile_m=32,
+        compute_dtype=jnp.bfloat16,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_bf16), atol=1e-6)

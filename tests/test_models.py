@@ -214,3 +214,42 @@ def test_standard_seg_unet_is_not_rotation_invariant():
     h_rot, out_rot = _rotate_world(h, out_pc, rot)
     logits_rot = model.apply(variables, h_rot, f0, out_rot, train=False)
     assert np.abs(np.asarray(logits) - np.asarray(logits_rot)).max() > 1e-4
+
+
+def test_provider_payload_serves_both_factories():
+    """Self (multi_use) neighborhoods feed BOTH the block stack
+    (conv_blocks) and the patch stem's self conv (conv).  The cached
+    payload must serve every consumer: geo_t dtype follows conv_blocks,
+    and a non-fused factory still finds equiv_rel/equiv_rot."""
+    from se3conv3d_tpu.models.spec import NeighborhoodProvider
+    from se3conv3d_tpu.nn.conv import ConvFactory
+
+    h, _, _, _ = _build(jax.random.PRNGKey(5), True)
+    spec = _tiny_seg_spec(True)
+
+    # conv_blocks bf16-fused, conv f32-fused: cache dtype follows blocks
+    spec_bf16 = dataclasses.replace(
+        spec,
+        conv=dataclasses.replace(spec.conv, use_fused=True),
+        conv_blocks=dataclasses.replace(
+            spec.conv, use_fused=True, compute_dtype="bfloat16"
+        ),
+    )
+    nb = NeighborhoodProvider(h, spec_bf16).get(1, 1, 0.32, "ball_query", 8)
+    assert nb.equiv_geo_t is not None
+    assert nb.equiv_geo_t.dtype == jnp.bfloat16
+
+    # conv non-fused (kp), conv_blocks fused: both payloads attach
+    spec_mixed = dataclasses.replace(
+        spec,
+        conv=dataclasses.replace(spec.conv, pne_type="mlp_softmax"),
+        conv_blocks=dataclasses.replace(spec.conv, use_fused=True),
+    )
+    nb = NeighborhoodProvider(h, spec_mixed).get(1, 1, 0.32, "ball_query", 8)
+    assert nb.equiv_geo_t is not None  # for the fused block convs
+    assert nb.equiv_rel is not None and nb.equiv_rot is not None  # for conv
+
+    # cross-level (single-use) neighborhoods follow spec.conv alone
+    nb = NeighborhoodProvider(h, spec_mixed).get(1, 0, 0.32, "ball_query", 8)
+    assert nb.equiv_geo_t is None
+    assert nb.equiv_rel is not None
