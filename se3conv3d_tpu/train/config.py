@@ -32,6 +32,8 @@ from ..models.presets import CLASS_PRESETS, SEG_PRESETS
 
 __all__ = [
     "load_yaml_config",
+    "is_test_config",
+    "merge_test_config",
     "frame_config_from_dict",
     "hierarchy_config_from_model_dict",
     "build_model_from_config",
@@ -45,6 +47,53 @@ def load_yaml_config(path: str) -> Dict[str, Any]:
     for section in ("Training", "Dataset", "Model"):
         cfg.setdefault(section, {})
     return cfg
+
+
+def is_test_config(cfg: Dict[str, Any]) -> bool:
+    """True for the reference's test-regime YAML shape: a ``Testing``
+    section and no ``Model`` section (e.g.
+    ``confs/scannet/scannet20_test_pca_I_SO2.yaml``)."""
+    return bool(cfg.get("Testing")) and not cfg.get("Model")
+
+
+def merge_test_config(
+    train_cfg: Dict[str, Any], test_cfg: Dict[str, Any]
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Overlay a test-regime YAML onto the training config it evaluates.
+
+    The reference's test scripts take the model architecture from the
+    checkpoint payload and ONLY the test-time regime from the test YAML
+    (``test_scannet_rot.py:225-260``): the eval split + augmentation
+    modules from its ``Dataset`` section, and the frame-sampling
+    overrides / vote count / output folder from ``Testing``.  Returns
+    ``(merged_cfg, testing)`` where ``merged_cfg`` follows the training
+    schema (so ``Experiment`` consumes it unchanged) and ``testing`` is
+    the raw ``Testing`` dict (``num_epochs`` = vote epochs,
+    ``save_folder`` = prediction output dir).
+    """
+    import copy
+
+    merged = copy.deepcopy(train_cfg)
+    testing = dict(test_cfg.get("Testing") or {})
+    ds = dict(test_cfg.get("Dataset") or {})
+    out_ds = merged.setdefault("Dataset", {})
+    if "split" in ds:
+        # the test schema names the eval split 'split'
+        out_ds["test_split"] = ds.pop("split")
+    out_ds.update(ds)
+    rf = testing.get("RefFrames")
+    if rf:
+        model_rf = dict(merged.setdefault("Model", {}).get("RefFrames") or {})
+        model_rf.update({k: v for k, v in rf.items() if k != "n_frames"})
+        if "n_frames" in rf:
+            # test-time frame count; training's value stays authoritative
+            # for train_n_frames (unused at eval)
+            model_rf["test_n_frames"] = int(rf["n_frames"])
+        merged["Model"]["RefFrames"] = model_rf
+    if "batch_size" in testing:
+        # eval batch size (reference modelnet40_test_rot.yaml:3)
+        merged.setdefault("Training", {})["batch_size"] = testing["batch_size"]
+    return merged, testing
 
 
 def load_augmentations(dotted_path: Optional[str]):

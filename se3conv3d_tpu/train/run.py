@@ -88,12 +88,19 @@ class Experiment:
 
     def __init__(
         self,
-        conf_file: str,
+        conf_file,
         data_folder: str,
         n_devices: Optional[int] = None,
         log_folder: Optional[str] = None,
     ):
-        self.cfg = load_yaml_config(conf_file)
+        # a pre-merged config dict is accepted in place of a YAML path
+        # (test-regime configs overlay a training config via
+        # ``merge_test_config``; tasks/test_seg.py)
+        self.cfg = (
+            dict(conf_file)
+            if isinstance(conf_file, dict)
+            else load_yaml_config(conf_file)
+        )
         self.tr = self.cfg["Training"]
         self.ds_cfg = self.cfg["Dataset"]
         self.md = self.cfg["Model"]
@@ -365,6 +372,16 @@ class Experiment:
 
     # ------------------------------------------------------------------ run
     def run(self, resume: bool = False, max_epochs: Optional[int] = None):
+        # Persist the resolved config next to the checkpoints so
+        # test-regime YAMLs can later be overlaid on it without the
+        # original train YAML at hand (the reference stores model_dict
+        # inside every .pth payload, ``train_dfaust_rot.py:411-432``).
+        import yaml as _yaml
+
+        os.makedirs(self.log_folder, exist_ok=True)
+        with open(os.path.join(self.log_folder, "config.yaml"), "w") as f:
+            _yaml.safe_dump(self.cfg, f, sort_keys=False)
+
         state = self.init_state()
         start_epoch = 0
         if resume:

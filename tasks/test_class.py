@@ -9,8 +9,35 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from se3conv3d_tpu.train.config import (  # noqa: E402
+    is_test_config,
+    load_yaml_config,
+    merge_test_config,
+)
 from se3conv3d_tpu.train.evaluate import ClassificationVoter  # noqa: E402
 from se3conv3d_tpu.train.run import Experiment  # noqa: E402
+
+
+def resolve_config(args):
+    """Training YAML as-is, or a reference-style test YAML (e.g.
+    ``configs/modelnet40/modelnet40_test_rot.yaml``) overlaid on the
+    training config via --train_conf / the log folder's saved
+    config.yaml (see tasks/test_seg.py:resolve_config)."""
+    cfg = load_yaml_config(args.conf_file)
+    if not is_test_config(cfg):
+        return cfg, {}
+    train_conf = args.train_conf
+    if train_conf is None and args.log_folder:
+        candidate = os.path.join(args.log_folder, "config.yaml")
+        if os.path.exists(candidate):
+            train_conf = candidate
+    if train_conf is None:
+        raise SystemExit(
+            "test-regime config: pass --train_conf <training yaml>, or "
+            "--log_folder <training log dir> containing the saved "
+            "config.yaml"
+        )
+    return merge_test_config(load_yaml_config(train_conf), cfg)
 
 
 def restore_ensemble(exp, n_checkpoints: int):
@@ -33,26 +60,40 @@ def restore_ensemble(exp, n_checkpoints: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--conf_file", required=True)
+    ap.add_argument("--conf_file", required=True,
+                    help="training YAML, or a reference-style test-regime "
+                         "YAML combined with --train_conf/--log_folder")
     ap.add_argument("--data_folder", required=True)
-    ap.add_argument("--vote_epochs", type=int, default=10)
+    ap.add_argument("--train_conf", default=None,
+                    help="training YAML of the checkpoint under evaluation "
+                         "(required with a test-regime --conf_file unless "
+                         "--log_folder holds a saved config.yaml)")
+    ap.add_argument("--vote_epochs", type=int, default=None,
+                    help="default: Testing.num_epochs of the conf, else 10")
     ap.add_argument("--checkpoints", type=int, default=1,
                     help="ensemble the last N stored checkpoints "
                          "(reference test_rot.py:73-156 protocol)")
     ap.add_argument("--log_folder", default=None)
     args = ap.parse_args()
 
-    exp = Experiment(args.conf_file, args.data_folder, log_folder=args.log_folder)
+    cfg, testing = resolve_config(args)
+    vote_epochs = (
+        args.vote_epochs
+        if args.vote_epochs is not None
+        else int(testing.get("num_epochs", 10))
+    )
+
+    exp = Experiment(cfg, args.data_folder, log_folder=args.log_folder)
     states = restore_ensemble(exp, args.checkpoints)
 
     voter = ClassificationVoter(
         exp.trainer, exp.val_ds, exp.num_classes, exp.capacity,
         batch_size=int(exp.tr.get("batch_size", 8)),
     )
-    for epoch in range(args.vote_epochs):
+    for epoch in range(vote_epochs):
         voter.run_epoch(states, epoch)
         print(
-            f"vote epoch {epoch + 1}/{args.vote_epochs}: "
+            f"vote epoch {epoch + 1}/{vote_epochs}: "
             f"acc={voter.accuracy():.4f}",
             flush=True,
         )

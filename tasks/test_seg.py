@@ -11,8 +11,41 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from se3conv3d_tpu.train.config import (  # noqa: E402
+    is_test_config,
+    load_yaml_config,
+    merge_test_config,
+)
 from se3conv3d_tpu.train.evaluate import SegmentationVoter  # noqa: E402
 from se3conv3d_tpu.train.run import Experiment, make_datasets  # noqa: E402
+
+
+def resolve_config(args):
+    """Return ``(experiment_cfg, testing_dict)`` for either config shape.
+
+    A training YAML evaluates as-is.  A reference-style test YAML
+    (``Testing`` + ``Dataset`` sections, e.g.
+    ``configs/scannet/scannet20_test_pca_I_SO2.yaml``) is overlaid on the
+    training config of the checkpoint under evaluation — taken from
+    ``--train_conf``, or from the ``config.yaml`` the training run saved
+    into its log folder (reference ``test_scannet_rot.py:225-260`` reads
+    the model dict from the checkpoint payload instead).
+    """
+    cfg = load_yaml_config(args.conf_file)
+    if not is_test_config(cfg):
+        return cfg, {}
+    train_conf = args.train_conf
+    if train_conf is None and args.log_folder:
+        candidate = os.path.join(args.log_folder, "config.yaml")
+        if os.path.exists(candidate):
+            train_conf = candidate
+    if train_conf is None:
+        raise SystemExit(
+            "test-regime config: pass --train_conf <training yaml>, or "
+            "--log_folder <training log dir> containing the saved "
+            "config.yaml"
+        )
+    return merge_test_config(load_yaml_config(train_conf), cfg)
 
 
 def restore_ensemble(exp, n_checkpoints: int):
@@ -35,20 +68,44 @@ def restore_ensemble(exp, n_checkpoints: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--conf_file", required=True)
+    ap.add_argument("--conf_file", required=True,
+                    help="training YAML, or a reference-style test-regime "
+                         "YAML (Testing+Dataset sections) combined with "
+                         "--train_conf/--log_folder")
     ap.add_argument("--data_folder", required=True)
-    ap.add_argument("--vote_epochs", type=int, default=30)
+    ap.add_argument("--train_conf", default=None,
+                    help="training YAML of the checkpoint under evaluation "
+                         "(required with a test-regime --conf_file unless "
+                         "--log_folder holds a saved config.yaml)")
+    ap.add_argument("--vote_epochs", type=int, default=None,
+                    help="default: Testing.num_epochs of the conf, else 30")
     ap.add_argument("--checkpoints", type=int, default=1,
                     help="ensemble the last N stored checkpoints "
                          "(reference test_rot.py:73-156 protocol)")
     ap.add_argument("--smooth_segments", action="store_true")
     ap.add_argument("--log_folder", default=None)
-    ap.add_argument("--save_output", default=None,
+    ap.add_argument("--save_output", nargs="?", const="__from_conf__",
+                    default=None,
                     help="directory for per-scene predictions (ScanNet "
-                         "benchmark label files + colored clouds)")
+                         "benchmark label files + colored clouds); with no "
+                         "value, uses Testing.save_folder from the conf")
     args = ap.parse_args()
 
-    exp = Experiment(args.conf_file, args.data_folder, log_folder=args.log_folder)
+    cfg, testing = resolve_config(args)
+    vote_epochs = (
+        args.vote_epochs
+        if args.vote_epochs is not None
+        else int(testing.get("num_epochs", 30))
+    )
+    if args.save_output == "__from_conf__":
+        args.save_output = testing.get("save_folder")
+        if not args.save_output:
+            raise SystemExit(
+                "--save_output given without a value and the conf has no "
+                "Testing.save_folder"
+            )
+
+    exp = Experiment(cfg, args.data_folder, log_folder=args.log_folder)
     if args.smooth_segments and not getattr(exp.val_ds, "load_segments", False):
         # rebuild the eval dataset with ScanNet segment ids attached
         # (reference test_scannet_rot.py load_segments=True path)
@@ -61,9 +118,9 @@ def main():
         exp.trainer, exp.val_ds, exp.num_classes, exp.capacity,
         trainer_factory=exp.make_eval_trainer,
     )
-    for epoch in range(args.vote_epochs):
+    for epoch in range(vote_epochs):
         voter.run_epoch(states, epoch)
-        print(f"vote epoch {epoch + 1}/{args.vote_epochs}", flush=True)
+        print(f"vote epoch {epoch + 1}/{vote_epochs}", flush=True)
 
     if hasattr(exp.val_ds, "scenes"):
         full_labels = [s.get("labels") for s in exp.val_ds.scenes]

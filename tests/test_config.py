@@ -13,15 +13,38 @@ from se3conv3d_tpu.train.config import (
     build_model_from_config,
     frame_config_from_dict,
     hierarchy_config_from_model_dict,
+    is_test_config,
     load_augmentations,
     load_yaml_config,
+    merge_test_config,
 )
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ALL_CONFIGS = sorted(glob.glob(os.path.join(_REPO, "configs", "*", "*.yaml")))
+TRAIN_CONFIGS = [p for p in ALL_CONFIGS if not is_test_config(load_yaml_config(p))]
+TEST_CONFIGS = [p for p in ALL_CONFIGS if is_test_config(load_yaml_config(p))]
 
 
-@pytest.mark.parametrize("path", ALL_CONFIGS, ids=os.path.basename)
+def _train_conf_for(test_path: str) -> str:
+    """The training config each shipped test-regime config evaluates."""
+    name = os.path.basename(test_path)
+    pairs = {
+        "modelnet40_test_rot.yaml": "modelnet40/modelnet40_pca_2F.yaml",
+        "modelnet40_test_standard.yaml": "modelnet40/modelnet40_standard.yaml",
+        "dfaust_test.yaml": "dfaust/dfaust_I_rot_pca_2F.yaml",
+    }
+    if name in pairs:
+        return os.path.join(_REPO, "configs", pairs[name])
+    variant = name.replace("scannet20_test_", "").rsplit("_", 2)[0]
+    train_name = {
+        "pca": "scannet20_rot_pca_SO2.yaml",
+        "rot": "scannet20_rot_SO2.yaml",
+        "standard": "scannet20_standard_SO2.yaml",
+    }[variant]
+    return os.path.join(_REPO, "configs", "scannet", train_name)
+
+
+@pytest.mark.parametrize("path", TRAIN_CONFIGS, ids=os.path.basename)
 def test_every_shipped_config_builds(path):
     cfg = load_yaml_config(path)
     md = cfg["Model"]
@@ -35,6 +58,80 @@ def test_every_shipped_config_builds(path):
     for key in ("train_aug_file", "test_aug_file", "train_aug_color_file"):
         augs = load_augmentations(cfg["Dataset"].get(key))
         AugPipeline(augs)  # raises on unknown names/kwargs
+
+
+@pytest.mark.parametrize("path", TEST_CONFIGS, ids=os.path.basename)
+def test_every_shipped_test_config_merges(path):
+    """Every test-regime YAML overlays its paired training config into a
+    buildable experiment config (the reference's test-script protocol,
+    ``test_scannet_rot.py:225-260``)."""
+    test_cfg = load_yaml_config(path)
+    train_cfg = load_yaml_config(_train_conf_for(path))
+    merged, testing = merge_test_config(train_cfg, test_cfg)
+    assert int(testing["num_epochs"]) >= 1
+    md = merged["Model"]
+    model = build_model_from_config(md, 3, 20)
+    assert isinstance(model, (FPNSegUNet, ClassNet))
+    hierarchy_config_from_model_dict(md, 4096, train=False)
+    # the eval regime's aug modules import cleanly
+    from se3conv3d_tpu.data.augment import AugPipeline
+
+    ds = merged["Dataset"]
+    for key in ("test_aug_file", "test_aug_color_file"):
+        AugPipeline(load_augmentations(ds.get(key)))
+    # test YAMLs override the eval split explicitly
+    if "split" in (test_cfg.get("Dataset") or {}):
+        assert ds["test_split"] == test_cfg["Dataset"]["split"]
+    # RefFrames overrides land in the eval frame config
+    rf = (test_cfg.get("Testing") or {}).get("RefFrames")
+    if rf:
+        fc = frame_config_from_dict(md["RefFrames"], train=False)
+        assert fc.n_frames == int(rf["n_frames"])
+        assert fc.pca == bool(rf.get("pca", True))
+
+
+def test_merge_test_config_semantics():
+    train = {
+        "Training": {"num_epochs": 600, "batch_size": 32},
+        "Dataset": {
+            "dataset": "scannet20", "train_split": "train",
+            "test_split": "val",
+            "train_aug_file": "configs.scannet.ScanNet_DS_Aug_zfixed",
+            "test_aug_file": "configs.scannet.ScanNet_DS_Aug_Val",
+        },
+        "Model": {
+            "model": "FPNSegUNetMLPGeluRotEqScanNet",
+            "RefFrames": {"pca": True, "fixed_axis": 2,
+                          "train_n_frames": 1, "test_n_frames": 1,
+                          "neigh_kwargs": {"neigh_k": 16}},
+        },
+    }
+    test = {
+        "Testing": {"num_epochs": 30, "save_folder": "preds",
+                    "batch_size": 8,
+                    "RefFrames": {"pca": False, "fixed_axis": 2,
+                                  "n_frames": 4}},
+        "Dataset": {"dataset": "scannet20", "split": "test",
+                    "test_aug_file": "configs.scannet.ScanNet_DS_Aug_Test"},
+    }
+    merged, testing = merge_test_config(train, test)
+    # training dict untouched (deep copy)
+    assert train["Dataset"]["test_aug_file"].endswith("Val")
+    assert train["Model"]["RefFrames"]["pca"] is True
+    # split mapping + aug override
+    assert merged["Dataset"]["test_split"] == "test"
+    assert merged["Dataset"]["test_aug_file"].endswith("Test")
+    assert merged["Dataset"]["train_aug_file"].endswith("zfixed")
+    # RefFrames: test-time values override, train_n_frames preserved
+    rf = merged["Model"]["RefFrames"]
+    assert rf["pca"] is False and rf["test_n_frames"] == 4
+    assert rf["train_n_frames"] == 1
+    assert rf["neigh_kwargs"]["neigh_k"] == 16  # untouched keys survive
+    # batch_size + the raw Testing dict pass through
+    assert merged["Training"]["batch_size"] == 8
+    assert testing["save_folder"] == "preds"
+    # a training-shaped config is not a test config
+    assert not is_test_config(train) and is_test_config(test)
 
 
 def test_frame_config_train_test_split():

@@ -96,3 +96,25 @@ def test_experiment_end_to_end_with_resume(dfaust_root, tmp_path):
         eval_hierarchy_config=exp2.eval_hcfg,
     )
     exp2.run(resume=True, max_epochs=1)
+
+    # The run persisted its resolved config; a reference-style test-regime
+    # YAML overlays it into a working eval Experiment (tasks/test_seg.py
+    # resolve_config path) with the test-time frame count applied.
+    saved_conf = log / "config.yaml"
+    assert saved_conf.exists()
+    from se3conv3d_tpu.train.config import load_yaml_config, merge_test_config
+
+    test_cfg = {
+        "Testing": {"num_epochs": 2,
+                    "RefFrames": {"pca": True, "fixed_axis": False,
+                                  "n_frames": 2,
+                                  "neigh_kwargs": {"neigh_k": 8}}},
+        "Dataset": {"dataset": "dfaust", "split": "test",
+                    "test_aug_file": "configs.dfaust.DFaust_DS_Aug_Val"},
+    }
+    merged, testing = merge_test_config(load_yaml_config(str(saved_conf)), test_cfg)
+    assert testing["num_epochs"] == 2
+    exp3 = Experiment(merged, str(dfaust_root), log_folder=str(log))
+    assert exp3.eval_hcfg.frames.n_frames == 2
+    assert exp3.hcfg.frames.n_frames == 1  # train count untouched
+    assert exp3.ckpt.latest_step() is not None  # finds the checkpoints
