@@ -185,3 +185,16 @@ class ClassificationVoter:
 
     def accuracy(self) -> float:
         return float((self.accum.argmax(-1) == self.labels).mean())
+
+    def class_accuracy(self) -> float:
+        """Class-balanced accuracy: mean over per-class accuracies of the
+        classes present (reference ``test_rot.py:284-291``)."""
+        return float(np.mean(self.per_class_accuracy()))
+
+    def per_class_accuracy(self) -> np.ndarray:
+        equal = self.accum.argmax(-1) == self.labels
+        return np.array([
+            equal[self.labels == c].mean()
+            for c in range(self.num_classes)
+            if (self.labels == c).any()
+        ])

@@ -74,6 +74,11 @@ def main():
                     help="ensemble the last N stored checkpoints "
                          "(reference test_rot.py:73-156 protocol)")
     ap.add_argument("--log_folder", default=None)
+    ap.add_argument("--save_output", nargs="?", const="__from_conf__",
+                    default=None,
+                    help="directory for accumulated logits + accuracy text "
+                         "files (reference test_rot.py save_results); with "
+                         "no value, uses Testing.save_folder from the conf")
     args = ap.parse_args()
 
     cfg, testing = resolve_config(args)
@@ -97,6 +102,32 @@ def main():
             f"acc={voter.accuracy():.4f}",
             flush=True,
         )
+
+    # final report, reference format (test_rot.py:293-294)
+    acc, class_acc = voter.accuracy(), voter.class_accuracy()
+    print("Acc: {:.2f} ".format(acc * 100.0))
+    print("Class Acc: {:.2f} ".format(class_acc * 100.0))
+
+    if args.save_output == "__from_conf__":
+        args.save_output = testing.get("save_folder")
+        if not args.save_output:
+            raise SystemExit(
+                "--save_output given without a value and the conf has no "
+                "Testing.save_folder"
+            )
+    if args.save_output:
+        # reference save_results payload (test_rot.py:159-169)
+        import numpy as np
+
+        os.makedirs(args.save_output, exist_ok=True)
+        np.savetxt(os.path.join(args.save_output, "accum_logits.txt"),
+                   voter.accum)
+        np.savetxt(os.path.join(args.save_output, "class_acc_list.txt"),
+                   voter.per_class_accuracy())
+        with open(os.path.join(args.save_output, "results.txt"), "w") as f:
+            f.write("Acc: {:.2f} \n".format(acc * 100.0))
+            f.write("Class Acc: {:.2f} \n".format(class_acc * 100.0))
+        print(f"saved results to {args.save_output}")
 
 
 if __name__ == "__main__":

@@ -139,13 +139,37 @@ def main():
         summary = voter.metrics(
             full_labels, segments, class_mask, smooth=args.smooth_segments
         )
+        # per-class table, reference format (test_dfaust_rot.py:346-365)
+        names = getattr(exp.val_ds, "class_names", None) or [
+            f"class_{i}" for i in range(exp.num_classes)
+        ]
+        for i in range(exp.num_classes):
+            masked = "" if class_mask is None or class_mask[i] else "  (masked)"
+            print(f"{names[i][:24]:>24} | acc {summary['acc_per_class'][i]*100:6.2f}"
+                  f" | iou {summary['iou_per_class'][i]*100:6.2f}{masked}")
         print(f"mIoU: {summary['miou']:.4f}  mAcc: {summary['macc']:.4f}  "
               f"OA: {summary['overall_acc']:.4f}")
     else:
+        summary = None
         # Prediction-only mode: an unlabeled split (the ScanNet benchmark
         # test set) yields no metrics, only saved predictions (reference
         # ``test_scannet_rot.py:396-465`` — its ``args.metrics`` intent).
         print("no labels in the evaluation split; skipping metrics")
+
+    if args.save_output and summary is not None:
+        # metric text files, reference save_results format
+        # (test_dfaust_rot.py:164-172)
+        import numpy as np
+
+        os.makedirs(args.save_output, exist_ok=True)
+        np.savetxt(os.path.join(args.save_output, "per_class_iou.txt"),
+                   summary["iou_per_class"])
+        np.savetxt(os.path.join(args.save_output, "per_class_acc.txt"),
+                   summary["acc_per_class"])
+        with open(os.path.join(args.save_output, "results.txt"), "w") as f:
+            f.write(f"mIoU: {summary['miou']:.4f} \n")
+            f.write(f"mAcc: {summary['macc']:.4f} \n")
+            f.write(f"OA: {summary['overall_acc']:.4f} \n")
 
     if args.save_output and exp.dataset_name.startswith("scannet"):
         # Per-scene voted predictions in the official benchmark format

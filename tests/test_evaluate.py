@@ -132,6 +132,25 @@ def test_classification_voter_ensembles():
     np.testing.assert_allclose(voter.accum[:, 1], 5.0)
 
 
+def test_classification_voter_class_accuracy_balances_classes():
+    """Class Acc = mean over per-class accuracies, classes present only
+    (reference test_rot.py:284-291)."""
+    voter = ClassificationVoter(
+        _FakeClassTrainer(), _FakeClassDataset(), num_classes=4, capacity=8,
+        batch_size=2,
+    )
+    # 3 samples of class 0 (2 right), 1 sample of class 1 (right);
+    # classes 2/3 absent from the eval set.
+    voter.labels = np.array([0, 0, 0, 1])
+    voter.accum = np.zeros((4, 4))
+    voter.accum[[0, 1, 3], [0, 0, 1]] = 1.0  # predictions 0,0,?,1
+    voter.accum[2, 1] = 1.0  # third class-0 sample predicted as 1
+    per = voter.per_class_accuracy()
+    np.testing.assert_allclose(per, [2 / 3, 1.0])
+    assert abs(voter.class_accuracy() - (2 / 3 + 1.0) / 2) < 1e-12
+    assert abs(voter.accuracy() - 3 / 4) < 1e-12
+
+
 def test_segmentation_voter_checkpoint_ensemble():
     """A list of states accumulates each member's logits (reference
     multi-checkpoint ensembling, test_rot.py:111-156)."""
