@@ -371,7 +371,20 @@ class Experiment:
         )
 
     # ------------------------------------------------------------------ run
-    def run(self, resume: bool = False, max_epochs: Optional[int] = None):
+    def run(
+        self,
+        resume: bool = False,
+        max_epochs: Optional[int] = None,
+        profile_dir: Optional[str] = None,
+    ):
+        """Full training loop.
+
+        ``profile_dir``: capture a ``jax.profiler`` trace of one training
+        epoch (the second, so the first epoch's compiles stay out of the
+        trace; the first when only one runs) — the TPU-native counterpart
+        of the reference's per-phase millisecond prints (SURVEY §5
+        tracing).  View with TensorBoard or Perfetto.
+        """
         # Persist the resolved config next to the checkpoints so
         # test-regime YAMLs can later be overlaid on it without the
         # original train YAML at hand (the reference stores model_dict
@@ -406,8 +419,20 @@ class Experiment:
             name=os.path.basename(self.log_folder),
         )
         best = -float("inf")
+        profile_epoch = (
+            min(start_epoch + 1, num_epochs - 1) if profile_dir else None
+        )
         for epoch in range(start_epoch, num_epochs):
+            if epoch == profile_epoch:
+                from ..utils.logging import StepTimer
+
+                profiler = StepTimer(trace_dir=profile_dir)
+                profiler.start_trace()
             state, train_metrics = self.train_epoch(state, epoch)
+            if epoch == profile_epoch:
+                profiler.stop_trace()
+                print(f"profiler trace for epoch {epoch} -> {profile_dir}",
+                      flush=True)
             log = {"train/loss": train_metrics["loss"]}
             line = f"epoch {epoch}: loss={train_metrics['loss']:.4f} " \
                    f"({train_metrics['epoch_time_s']:.1f}s)"

@@ -25,13 +25,17 @@ def main():
                     help="data-parallel mesh size (default: single device)")
     ap.add_argument("--max_epochs", type=int, default=None)
     ap.add_argument("--log_folder", default=None)
+    ap.add_argument("--profile_dir", default=None,
+                    help="capture a jax.profiler trace of one training "
+                         "epoch (the second, post-compile) into this dir")
     args = ap.parse_args()
 
     exp = Experiment(
         args.conf_file, args.data_folder,
         n_devices=args.n_devices, log_folder=args.log_folder,
     )
-    exp.run(resume=args.resume, max_epochs=args.max_epochs)
+    exp.run(resume=args.resume, max_epochs=args.max_epochs,
+            profile_dir=args.profile_dir)
 
 
 if __name__ == "__main__":
