@@ -137,9 +137,13 @@ class PNEConv(nn.Module):
     # [B,M,E,C] gathered-feature residual, no layer remat needed — the
     # backward re-gathers and calls the backward kernel directly.  That
     # re-gather costs ~5% at DFaust bench shapes (row-op-latency bound;
-    # measured r3 session I), so small recipes whose residuals fit HBM
-    # may set False to trade memory for that 5%.
-    lean_vjp: bool = True
+    # measured r3 session I).  Default FALSE: lean drops layer remat,
+    # which leaves the per-conv packed-geometry / mask intermediates
+    # un-rematerialized — the batch-32 DFaust 2F recipe then exceeds a
+    # 16G chip at COMPILE time (measured r3 session K), while lean only
+    # ever tied remat's step time.  Set ``Model.lean_vjp: true`` for
+    # single-scene recipes that want inputs-only residual semantics.
+    lean_vjp: bool = False
 
     @nn.compact
     def __call__(
@@ -332,9 +336,10 @@ class ConvFactory:
     # there would only re-run the forward Pallas kernel for nothing —
     # measured ~20-30 ms per big conv at ScanNet scale.
     remat: bool = True
-    # See PNEConv.lean_vjp; False restores autodiff residuals (and remat,
-    # if set) on the fused path.
-    lean_vjp: bool = True
+    # See PNEConv.lean_vjp; True drops remat on the fused path in favor
+    # of inputs-only residuals (memory-UNSAFE for multi-example batches,
+    # r3 session K).
+    lean_vjp: bool = False
 
     def _will_fuse(self) -> bool:
         return fused_dispatch(

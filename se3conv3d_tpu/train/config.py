@@ -12,8 +12,9 @@ optional keys extend the ``Model`` section:
   * ``max_neighbors``: static ball-query cap (preset defaults: 24 for the
     seg presets — measured lossless on grid-subsampled surface data — 32
     for class/FAUST presets whose patch stem queries the raw cloud),
-  * ``lean_vjp``: inputs-only conv VJP on the fused path (default true;
-    false = autodiff residuals + remat, ~5% faster when memory allows).
+  * ``lean_vjp``: inputs-only conv VJP on the fused path (default false =
+    autodiff residuals + remat, ~5% faster and memory-safe for batched
+    recipes; true drops remat — single-scene recipes only).
 
 Augmentation configs are Python modules exporting ``DS_AUGMENTS`` lists
 imported by dotted path, exactly like the reference (``:32-39``).
@@ -195,9 +196,9 @@ def build_model_from_config(
             conv_blocks=dataclasses.replace(spec.conv_blocks, compute_dtype=cdt),
         )
     if "lean_vjp" in model_dict:
-        # False = autodiff residuals (+ remat) on the fused path: ~5%
-        # faster per conv but keeps [B,M,E,C] residuals — only for
-        # recipes whose activations fit HBM (see ConvFactory.lean_vjp).
+        # True = inputs-only lean VJP (drops remat; single-scene recipes
+        # only — see ConvFactory.lean_vjp); False/default = autodiff
+        # residuals + remat.
         lv = bool(model_dict["lean_vjp"])
         spec = dataclasses.replace(
             spec,

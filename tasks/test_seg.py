@@ -18,6 +18,9 @@ from se3conv3d_tpu.train.config import (  # noqa: E402
 )
 from se3conv3d_tpu.train.evaluate import SegmentationVoter  # noqa: E402
 from se3conv3d_tpu.train.run import Experiment, make_datasets  # noqa: E402
+from se3conv3d_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 
 def resolve_config(args):

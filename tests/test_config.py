@@ -161,23 +161,25 @@ def test_model_overrides_apply():
     assert model.spec.equivariant
 
 def test_lean_vjp_override():
-    """YAML `Model.lean_vjp: false` restores autodiff residuals + remat on
-    the fused path (ConvFactory.make wraps in nn.remat again)."""
+    """YAML `Model.lean_vjp: true` opts into the inputs-only lean VJP
+    (drops remat on the fused path); the default is the memory-safe
+    autodiff-residuals + remat config (the lean no-remat mode OOMs the
+    batch-32 DFaust recipe at compile time, r3 session K)."""
     from se3conv3d_tpu.nn.conv import ConvFactory, PNEConv
 
     md = {
         "model": "FPNSegUNetMLPGeluRotEqFAUST",
         "init_subsample": 0.04,
         "grid_subsamples": [0.05, 0.1],
-        "lean_vjp": False,
+        "lean_vjp": True,
     }
     model = build_model_from_config(md, 1, 20)
-    assert model.spec.conv.lean_vjp is False
-    assert model.spec.conv_blocks.lean_vjp is False
-    # Default (no key): lean stays on.
+    assert model.spec.conv.lean_vjp is True
+    assert model.spec.conv_blocks.lean_vjp is True
+    # Default (no key): lean stays OFF (memory-safe remat).
     del md["lean_vjp"]
     model = build_model_from_config(md, 1, 20)
-    assert model.spec.conv.lean_vjp is True
+    assert model.spec.conv.lean_vjp is False
 
     # Factory: fused + lean -> bare PNEConv (inputs-only residuals need no
     # remat); lean off -> remat-wrapped class; non-fused configs keep remat
