@@ -66,7 +66,7 @@ from se3conv3d_tpu.ops import pne_conv as ops
 # block in C without returning to the bytecode loop, so a SIGALRM handler
 # might never run; a thread always can print + _exit.
 WATCHDOG_SEC = float(os.environ.get("BENCH_WATCHDOG_SEC", "330"))
-PROBE_SEC = float(os.environ.get("BENCH_PROBE_SEC", "165"))
+PROBE_SEC = float(os.environ.get("BENCH_PROBE_SEC", "235"))
 # Absolute ceiling: the driver wraps bench.py in its own timeout (rc=124
 # with NO output in rounds 1-2); we must always emit before it fires.
 GLOBAL_SEC = float(os.environ.get("BENCH_GLOBAL_SEC", "480"))
