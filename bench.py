@@ -46,15 +46,11 @@ import jax.numpy as jnp
 # minutes through this tunnel's compile helper (r3 measurement) — past any
 # sane watchdog — but cached re-compiles land in seconds and the cache
 # works across processes on this platform (verified r3).  Warmed here, hit
-# by the driver's run.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    ),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# by the driver's run.  Namespaced per platform+host (utils/cache.py) so
+# CPU-mesh entries never share a directory with the TPU entries.
+from se3conv3d_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 from se3conv3d_tpu.core.neighborhoods import Neighborhood
 from se3conv3d_tpu.core.pointcloud import PointCloud
@@ -322,14 +318,20 @@ def main():
 
     # Fail-fast backend probes: child-process ops, retried — the chip
     # flaps (r3: responsive for ~a minute, wedged for tens), so one
-    # failed probe should not forfeit the round's number.
+    # failed probe must not forfeit the round's number.  Each retry's
+    # timeout is cut to the REMAINING global budget (minus emission
+    # headroom): at the 235/480 defaults that fits a second ~225 s probe
+    # after a first full-length failure — the r3 arithmetic (fixed
+    # elapsed-time guard) broke out before any retry could run.
     dog.set_stage("backend-probe", GLOBAL_SEC)  # children do the timing
     probe_ok = False
-    for _ in range(3):
-        if _subprocess_probe(PROBE_SEC):
+    for _ in range(5):
+        remaining = GLOBAL_SEC - (time.monotonic() - dog.t0)
+        budget = min(PROBE_SEC, remaining - 20.0)
+        if budget < min(30.0, PROBE_SEC):
+            break  # not enough budget left for a meaningful probe
+        if _subprocess_probe(budget):
             probe_ok = True
-            break
-        if time.monotonic() - dog.t0 > GLOBAL_SEC - PROBE_SEC - 60:
             break
     if not probe_ok:
         dog.emit(

@@ -14,7 +14,8 @@ hcfg = HierarchyConfig(init_cell_size=0.1, cell_sizes=(0.2, 0.4, 0.8, 1.6),
     frames=FrameConfig(n_frames=1, pca=True, neigh_k=16, fixed_axis=2))
 model = FPNSegUNet(spec, num_in_feats=3, num_classes=21)
 trainer = Trainer(model, hcfg, make_optimizer(max_lr=1e-3, total_steps=100),
-    TrainSettings(label_smoothing=0.2, task="segmentation"))
+    TrainSettings(label_smoothing=0.2, task="segmentation"),
+    donate_state=False)  # the timing loop re-steps from one state
 
 from _workload import surface_cloud
 

@@ -58,13 +58,23 @@ def fused_dispatch(
     shape-independent so the provider's trace-time choice matches every
     layer on the neighborhood.  ``use_fused=None`` auto-selects by
     backend (the Pallas kernel is TPU-only).
+
+    Fused coverage: mlp_{relu,gelu,sin,linear} (standard + equivariant
+    6D) and every kp_* correlation (standard only — the reference's
+    equivariant path rejects kp too, ``PNEConvLayerRotEquiv.py:221``),
+    all with 'add' aggregation.  mlp_softmax (a cross-basis softmax, not
+    expressible as the kernel's elementwise activation) and 'max'
+    aggregation stay on the XLA path.
     """
-    fused_ok = (
-        "mlp" in pne_type
-        and not pne_type.endswith("softmax")
-        and aggregation == "add"
-        and (not equivariant or rel_rot_type == "6D")
-    )
+    if pne_type.startswith("kp"):
+        fused_ok = aggregation == "add" and not equivariant
+    else:
+        fused_ok = (
+            "mlp" in pne_type
+            and not pne_type.endswith("softmax")
+            and aggregation == "add"
+            and (not equivariant or rel_rot_type == "6D")
+        )
     if use_fused is None:
         use_fused = jax.default_backend() != "cpu"
     return fused_ok and use_fused
@@ -228,7 +238,11 @@ class PNEConv(nn.Module):
             self.pne_type, self.aggregation, self.equivariant,
             self.rel_rot_type, self.use_fused,
         )
-        act_name = self.pne_type.split("_")[-1] if use_fused else None
+        act_name = (
+            self.pne_type.split("_")[-1]
+            if use_fused and "mlp" in self.pne_type
+            else None
+        )
 
         # The kernel keeps W2 [G*Q, C, O] (+ its grad accumulator) resident
         # in VMEM; wide-channel convs split the O axis into <=2M-element
@@ -277,15 +291,29 @@ class PNEConv(nn.Module):
             )
 
         if use_fused:
-            outs = [
-                ops.fused_conv(
-                    pc_in, pc_out, neigh, features,
-                    proj_axes, proj_biases, w_c,
-                    norm_dist, norm_neighs, act=act_name, compute_dtype=cdt,
-                    lean_vjp=self.lean_vjp,
+            if "kp" in self.pne_type:
+                corr = "gauss" if "gauss" in self.pne_type else (
+                    "box" if "box" in self.pne_type else "linear"
                 )
-                for w_c in _o_chunks()
-            ]
+                outs = [
+                    ops.fused_kp_conv(
+                        pc_in, pc_out, neigh, features,
+                        kp, sigma, corr,
+                        proj_axes, proj_biases, w_c,
+                        norm_dist, norm_neighs, compute_dtype=cdt,
+                    )
+                    for w_c in _o_chunks()
+                ]
+            else:
+                outs = [
+                    ops.fused_conv(
+                        pc_in, pc_out, neigh, features,
+                        proj_axes, proj_biases, w_c,
+                        norm_dist, norm_neighs, act=act_name,
+                        compute_dtype=cdt, lean_vjp=self.lean_vjp,
+                    )
+                    for w_c in _o_chunks()
+                ]
             return (
                 outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
             )
@@ -357,6 +385,9 @@ class ConvFactory:
         lean_effective = (
             self.lean_vjp
             and self._will_fuse()
+            # the kp fused path has no lean variant (fused_kp_conv) —
+            # keep remat on so its autodiff residuals stay bounded
+            and "kp" not in self.pne_type
             and ops.BWD_SCATTER_MODE != "sorted"
         )
         if self.remat and not lean_effective:

@@ -148,6 +148,9 @@ class Experiment:
             # (reference mask_classes_, ScanNet.py:230-237)
             ignore_label=mask_classes[0] if mask_classes else None,
             task=self.task,
+            # Training.scan_scenes: scene-sequential in-graph gradient
+            # accumulation (B=1 activation memory at B>1 batch sizes)
+            scan_scenes=bool(self.tr.get("scan_scenes", False)),
         )
         self.mesh = make_mesh(n_devices) if n_devices else None
         self.trainer = Trainer(

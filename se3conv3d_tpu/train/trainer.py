@@ -21,7 +21,10 @@ from jax.sharding import Mesh
 
 from ..core.hierarchy import HierarchyConfig, build_hierarchy
 from ..parallel.mesh import batch_sharding, replicated
-from .losses import classification_loss, masked_segmentation_loss
+from .losses import (
+    classification_loss_parts,
+    masked_segmentation_loss_parts,
+)
 
 __all__ = ["TrainState", "Trainer", "TrainSettings"]
 
@@ -42,6 +45,19 @@ class TrainSettings:
     label_smoothing: float = 0.0
     ignore_label: Optional[int] = None
     task: str = "segmentation"  # or "classification"
+    # In-graph scene-sequential gradient accumulation: process the batch
+    # axis one example at a time under ``lax.scan`` (peak activation
+    # memory of B=1) and apply ONE optimizer update from the
+    # count-weighted gradient sum.  Built for the ScanNet B>1 regime,
+    # where batching multiple ~120k-pt scenes forces XLA into
+    # memory-pressure remat copies (~26%/scene slower than B=1 on a 16G
+    # chip, r3).  Per-scene batch-norm statistics update sequentially —
+    # the same semantics as the reference's ``accum_grads`` micro-batches
+    # (``train_dfaust_rot.py:263-273``); gradients are weighted by each
+    # scene's valid-point count, so the update equals the batched one up
+    # to BN-stat differences and fp reordering.  Single-device only
+    # (meshes shard the batch axis instead).
+    scan_scenes: bool = False
 
 
 class Trainer:
@@ -67,6 +83,7 @@ class Trainer:
         settings: TrainSettings = TrainSettings(),
         mesh: Optional[Mesh] = None,
         eval_hierarchy_config: Optional[HierarchyConfig] = None,
+        donate_state: bool = True,
     ):
         self.model = model
         self.hcfg = hierarchy_config
@@ -101,8 +118,20 @@ class Trainer:
             if jax.default_backend() == "cpu"
             else {"xla_tpu_scoped_vmem_limit_kib": 32768}
         )
+        # Donate the state into the train step: params/opt-state buffers
+        # are consumed in place instead of holding live copies across the
+        # update — part of the ScanNet B>1 memory-pressure budget.  The
+        # CPU backend does not implement donation (it would only warn);
+        # callers that re-step from one state (experiments) pass
+        # ``donate_state=False``.
+        don = (
+            dict(donate_argnums=(0,))
+            if donate_state and jax.default_backend() != "cpu"
+            else {}
+        )
         self._train_step = jax.jit(
-            self._train_step_impl, compiler_options=copts, **self._jit_kwargs
+            self._train_step_impl, compiler_options=copts, **don,
+            **self._jit_kwargs,
         )
         self._eval_step = jax.jit(
             self._eval_step_impl, compiler_options=copts, **self._jit_kwargs
@@ -163,24 +192,32 @@ class Trainer:
             return (h, f0, out_pc)
         return (h, f0)
 
-    def _loss(self, logits, out_labels, out_pc):
+    def _loss_parts(self, logits, out_labels, out_pc):
+        """Unnormalised ``(total, count)`` — summable across scenes."""
         if self.settings.task == "segmentation":
-            return masked_segmentation_loss(
+            return masked_segmentation_loss_parts(
                 logits,
                 out_labels,
                 out_pc.mask,
                 self.settings.label_smoothing,
                 self.settings.ignore_label,
             )
-        return classification_loss(
+        return classification_loss_parts(
             logits, out_labels, self.settings.label_smoothing,
             # all-masked filler examples (multi-host batch padding) carry
             # no points; keep them out of the batch mean
             example_mask=jnp.any(out_pc.mask, axis=1),
         )
 
+    def _loss(self, logits, out_labels, out_pc):
+        total, count = self._loss_parts(logits, out_labels, out_pc)
+        return total / jnp.maximum(count, 1.0)
+
     # ----------------------------------------------------------------- steps
     def _train_step_impl(self, state: TrainState, batch: dict, rng: jax.Array):
+        b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        if self.settings.scan_scenes and b > 1 and self.mesh is None:
+            return self._train_step_scan(state, batch, rng)
         rng_h, rng_d = jax.random.split(jax.random.fold_in(rng, state.step))
         h, f0, out_pc, out_labels, _ = self._build(rng_h, batch)
 
@@ -207,6 +244,76 @@ class Trainer:
             step=state.step + 1,
             params=new_params,
             batch_stats=mutated["batch_stats"],
+            opt_state=new_opt,
+        )
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    def _train_step_scan(self, state: TrainState, batch: dict, rng: jax.Array):
+        """Scene-sequential accumulation variant of the train step
+        (``TrainSettings.scan_scenes``): each batch example runs through
+        hierarchy+forward+backward alone under ``lax.scan`` — B=1 peak
+        activation memory — accumulating count-weighted gradient parts;
+        one optimizer update applies the weighted mean, so the update
+        matches the batched step up to per-scene BN statistics (the
+        reference's ``accum_grads`` semantics) and fp summation order."""
+        rng_h, rng_d = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def scene(carry, xs):
+            bstats, gsum, tsum, csum = carry
+            sub, i = xs
+            sub = jax.tree_util.tree_map(lambda x: x[None], sub)
+            h, f0, out_pc, out_labels, _ = self._build(
+                jax.random.fold_in(rng_h, i), sub
+            )
+
+            def loss_fn(params):
+                out, mutated = self.model.apply(
+                    {
+                        "params": params,
+                        "batch_stats": bstats,
+                        "calib": state.calib,
+                    },
+                    *self._model_args(h, f0, out_pc),
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"droppath": jax.random.fold_in(rng_d, i)},
+                )
+                total, count = self._loss_parts(out, out_labels, out_pc)
+                return total, (count, mutated)
+
+            (total, (count, mutated)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            carry = (
+                mutated["batch_stats"],
+                jax.tree_util.tree_map(
+                    lambda a, g: a + g.astype(jnp.float32), gsum, grads
+                ),
+                tsum + total,
+                csum + count,
+            )
+            return carry, ()
+
+        b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        gzero = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+        )
+        init = (state.batch_stats, gzero, jnp.zeros(()), jnp.zeros(()))
+        (bstats, gsum, total, count), _ = jax.lax.scan(
+            scene, init, (batch, jnp.arange(b))
+        )
+        denom = jnp.maximum(count, 1.0)
+        grads = jax.tree_util.tree_map(
+            lambda g, p: (g / denom).astype(p.dtype), gsum, state.params
+        )
+        loss = total / denom
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=bstats,
             opt_state=new_opt,
         )
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}

@@ -84,6 +84,7 @@ def test_attention_conv_layers(cls):
     assert bool(jax.tree_util.tree_leaves(upd["calib"])[0] is not None)
 
 
+@pytest.mark.slow
 def test_plain_seg_unet_forward():
     cfg = HierarchyConfig(
         init_cell_size=0.08,
@@ -183,6 +184,7 @@ def test_rotate_hierarchy_preserves_structure():
         )
 
 
+@pytest.mark.slow
 def test_class_net_global_equiv_featurevector():
     from se3conv3d_tpu.models import ClassNet
 

@@ -60,6 +60,7 @@ def dfaust_root(tmp_path):
     return tmp_path
 
 
+@pytest.mark.slow
 def test_experiment_end_to_end_with_resume(dfaust_root, tmp_path):
     from se3conv3d_tpu.train.run import Experiment
 

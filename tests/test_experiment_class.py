@@ -60,6 +60,7 @@ def mn40_root(tmp_path):
     return tmp_path
 
 
+@pytest.mark.slow
 def test_classification_experiment_end_to_end(mn40_root, tmp_path):
     import dataclasses
 

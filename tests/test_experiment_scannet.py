@@ -78,6 +78,7 @@ def scannet_root(tmp_path):
     return str(root)
 
 
+@pytest.mark.slow
 def test_scannet_experiment_end_to_end(scannet_root, tmp_path):
     from se3conv3d_tpu.models import FPNSegUNet
     from se3conv3d_tpu.train import Trainer

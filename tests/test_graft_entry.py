@@ -49,6 +49,7 @@ def test_import_is_device_free_under_poisoned_backend():
     assert "DEVICE_FREE_OK" in proc.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_real_subprocess():
     # Exactly the driver's call: import in a (potentially TPU-default)
     # parent, then dryrun_multichip(8) which must self-force a CPU mesh.
@@ -68,6 +69,7 @@ def test_dryrun_multichip_real_subprocess():
     assert "dryrun_multichip(8): ok" in proc.stdout
 
 
+@pytest.mark.slow
 def test_bench_emits_json_on_wedged_backend():
     # Child probes succeed (healthy-looking backend), then the main
     # process's first op wedges: the watchdog thread must print a

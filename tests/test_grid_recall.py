@@ -128,6 +128,7 @@ def test_grid_dispatch_midsize_recall():
     assert r_all >= 0.99, f"mid-size overall recall {r_all:.5f}"
 
 
+@pytest.mark.slow
 def test_grid_knn_recall_dense_blobs_needs_larger_cap():
     rng = np.random.default_rng(12)
     scene = _blob_scene(rng)
@@ -173,6 +174,7 @@ def test_capped_ball_query_keeps_nearest():
         np.testing.assert_allclose(kept, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_reservoir_cap_mode_uniform_sampling():
     """cap_mode='reservoir' keeps a uniform random k-subset of in-radius
     candidates (the reference's store_neighbors.cu:46-114 semantics,

@@ -7,6 +7,7 @@ approximation's semantics.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from se3conv3d_tpu.models import MinkUNet34A
@@ -43,6 +44,7 @@ def test_voxelize_mean_and_slice_roundtrip():
     assert float(jnp.abs(grid2).sum()) == 0.0
 
 
+@pytest.mark.slow
 def test_forward_and_train_step():
     pts, mask, feats = _batch(jax.random.PRNGKey(1))
     labels = jax.random.randint(jax.random.PRNGKey(2), (B, N), 0, CLASSES)

@@ -115,6 +115,7 @@ def test_fused_conv_sorted_backward_matches_scatter(m, monkeypatch):
         )
 
 
+@pytest.mark.slow
 def test_full_model_fused_sorted_train_step(monkeypatch):
     """Integration: FPNSegUNet with the fused kernel forced on
     (interpret-mode Pallas on CPU) and the 'sorted' backward — provider

@@ -63,6 +63,7 @@ def test_seg_train_step_decreases_loss(equivariant):
     assert out["logits"].shape == (2, 128, 5)
 
 
+@pytest.mark.slow
 def test_classification_train_step():
     hcfg = HierarchyConfig(
         init_cell_size=0.08,
@@ -104,6 +105,104 @@ def test_classification_train_step():
     assert min(losses[5:]) < losses[0]
 
 
+@pytest.mark.slow
+def test_scan_scenes_matches_manual_accumulation():
+    """``TrainSettings.scan_scenes`` (in-graph scene-sequential gradient
+    accumulation, B=1 activation memory) must produce exactly the
+    count-weighted accumulated update: verified against an explicit
+    per-scene replication with the same rng folding."""
+    import optax
+
+    model, hcfg, batch = _seg_setup(True, b=2, n=96)
+    tx = make_optimizer(max_lr=5e-3, total_steps=20)
+    settings = TrainSettings(label_smoothing=0.2, scan_scenes=True)
+    trainer = Trainer(model, hcfg, tx, settings)
+    state = trainer.init(jax.random.PRNGKey(2), batch)
+    state = trainer.calibration_step(state, batch, jax.random.PRNGKey(3))
+    rng = jax.random.PRNGKey(4)
+    new_state, metrics = trainer.train_step(state, batch, rng)
+
+    # manual replication of the scan body (same rng structure)
+    rng_h, rng_d = jax.random.split(jax.random.fold_in(rng, state.step))
+    bstats = state.batch_stats
+    gsum = jax.tree_util.tree_map(
+        lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+    )
+    tsum = csum = 0.0
+    for i in range(2):
+        sub = {k: v[i : i + 1] for k, v in batch.items()}
+        h, f0, out_pc, out_labels, _ = trainer._build(
+            jax.random.fold_in(rng_h, i), sub
+        )
+
+        def loss_fn(params, bstats=bstats, h=h, f0=f0, out_pc=out_pc,
+                    out_labels=out_labels, i=i):
+            out, mutated = model.apply(
+                {
+                    "params": params,
+                    "batch_stats": bstats,
+                    "calib": state.calib,
+                },
+                h, f0, out_pc, train=True, mutable=["batch_stats"],
+                rngs={"droppath": jax.random.fold_in(rng_d, i)},
+            )
+            total, count = trainer._loss_parts(out, out_labels, out_pc)
+            return total, (count, mutated)
+
+        (total, (count, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        bstats = mutated["batch_stats"]
+        gsum = jax.tree_util.tree_map(
+            lambda a, g: a + g.astype(jnp.float32), gsum, grads
+        )
+        tsum += float(total)
+        csum += float(count)
+
+    grads = jax.tree_util.tree_map(
+        lambda g, p: (g / csum).astype(p.dtype), gsum, state.params
+    )
+    updates, _ = tx.update(grads, state.opt_state, state.params)
+    exp_params = optax.apply_updates(state.params, updates)
+
+    np.testing.assert_allclose(float(metrics["loss"]), tsum / csum, rtol=1e-5)
+    for (_, a), (_, b_) in zip(
+        jax.tree_util.tree_leaves_with_path(new_state.params),
+        jax.tree_util.tree_leaves_with_path(exp_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-6
+        )
+    # batch_stats followed the sequential (accum_grads) semantics
+    for (_, a), (_, b_) in zip(
+        jax.tree_util.tree_leaves_with_path(new_state.batch_stats),
+        jax.tree_util.tree_leaves_with_path(bstats),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-7
+        )
+
+
+def test_scan_scenes_trains():
+    """scan_scenes end-to-end: loss decreases like the batched path."""
+    model, hcfg, batch = _seg_setup(True, b=2, n=96)
+    trainer = Trainer(
+        model,
+        hcfg,
+        make_optimizer(max_lr=5e-3, total_steps=20),
+        TrainSettings(label_smoothing=0.2, scan_scenes=True),
+    )
+    state = trainer.init(jax.random.PRNGKey(2), batch)
+    state = trainer.calibration_step(state, batch, jax.random.PRNGKey(3))
+    losses = []
+    for _ in range(5):
+        state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(4))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.slow
 def test_seg_train_step_on_8_device_mesh():
     """Data-parallel sharded step on the virtual CPU mesh; must match the
     single-device result (same total batch, replicated state)."""
@@ -137,6 +236,7 @@ def test_seg_train_step_on_8_device_mesh():
         )
 
 
+@pytest.mark.slow
 def test_seg_train_step_on_2d_data_points_mesh():
     """(data=4, points=2) mesh: per-point arrays shard on BOTH axes (the
     sequence-parallel analogue); GSPMD inserts the cross-shard gather

@@ -4,12 +4,14 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from se3conv3d_tpu.core.hierarchy import FrameConfig, HierarchyConfig
 from se3conv3d_tpu.models import FPNSegUNet, get_model_spec
 from se3conv3d_tpu.train import Trainer, TrainSettings, make_optimizer
 
 
+@pytest.mark.slow
 def test_eval_uses_test_n_frames():
     train_cfg = HierarchyConfig(
         init_cell_size=0.08, cell_sizes=(0.16, 0.32),
