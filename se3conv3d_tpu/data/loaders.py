@@ -125,8 +125,16 @@ class ModelNet40Dataset:
     """ModelNet40 (normal-resampled txt format) with h5 caching.
 
     Reference ``loaders/ModelNet40.py:80-201``: per-sample txt
-    ``x,y,z,nx,ny,nz`` truncated to ``num_pts``; features = normals
-    (+ coords when ``use_coords_as_features``).
+    ``x,y,z,nx,ny,nz`` truncated to ``num_pts``.  The reference LOADER
+    returns normals(+coords) as features, but every shipped
+    classification task replaces them with constant ones before the
+    model (``tasks/Classification/train_rot.py:117-120``,
+    ``train_standard.py:134``) — global-frame normal vectors in the
+    feature channel would break the rot-equivariant path's invariance
+    under SO(3) test rotations (measured: a 25-pt accuracy gap on the
+    synthetic 40-class set).  ``use_ones_features=True`` (the default)
+    reproduces the task behavior; set it False for the loader-level
+    normals(+coords) payload.
     """
 
     def __init__(
@@ -137,11 +145,13 @@ class ModelNet40Dataset:
         split: str = "train",
         create_tmp_file: bool = True,
         use_coords_as_features: bool = True,
+        use_ones_features: bool = True,
         seed: int = 0,
     ):
         self.path = data_folder
         self.num_pts = num_pts
         self.coords_as_features = use_coords_as_features
+        self.ones_features = use_ones_features
         self.aug = AugPipeline(augmentations) if augmentations else None
         self.rng = np.random.default_rng(seed)
 
@@ -192,9 +202,12 @@ class ModelNet40Dataset:
         if self.aug:
             pts, _, extras = self.aug.augment(self.rng, pts, [normals])
             normals = extras[0]
-        feats = (
-            np.concatenate([normals, pts], -1) if self.coords_as_features else normals
-        )
+        if self.ones_features:
+            feats = np.ones((pts.shape[0], 1), np.float32)
+        elif self.coords_as_features:
+            feats = np.concatenate([normals, pts], -1)
+        else:
+            feats = normals
         return {
             "positions": pts.astype(np.float32),
             "features": feats.astype(np.float32),

@@ -253,7 +253,13 @@ class PNEConv(nn.Module):
         # payload choice (models/spec.py) agrees with the dispatch here.
         def _o_chunks():
             w_cut = FUSED_WEIGHT_VMEM_CUTOFF
-            per_o = self.in_features * self.num_basis
+            # The kernel holds W2 [G*Q, C, O] + its grad accumulator in
+            # VMEM, so the cutoff bounds G*C*Q*O — out-frames multiply
+            # the resident weight like any other dim.
+            g_res = pc_out.frames.shape[2] if (
+                self.equivariant and pc_out.frames is not None
+            ) else 1
+            per_o = self.in_features * self.num_basis * g_res
             o_chunk = max(w_cut // per_o, 1)
             if o_chunk >= self.out_features:
                 return [conv_weights]

@@ -400,22 +400,37 @@ _fused_single.defvjp(_fused_single_fwd, _fused_single_bwd)
 
 
 def _tile_for(tile_m: int, e: int, c: int, o: int, d: int, g_frames: int,
-              compute_dtype: Optional[str]) -> int:
-    """VMEM-aware tile cap: the m-scaled pipeline blocks (feat + dfeat +
-    residual ~ 3*e*c, geo e*(d+1)*G, out 2*G*o; double-buffered) must fit
-    the kernel's 100M vmem_limit_bytes.  tile_m=256 was tuned at the
-    bench shape (e=32, c=64 — a ~6% bwd win); the 72M budget keeps every
-    previously-compiling shape at its measured tile and halves only the
-    shapes that could not compile at all (DFaust 2F deep layers)."""
+              q: int, compute_dtype: Optional[str]) -> int:
+    """VMEM-aware tile cap against the kernel's 100M vmem_limit_bytes.
+
+    Scoped VMEM ≈ csize * (fixed + per_m * tile):
+      * fixed (tile-independent): W2 + its grad accumulator, each
+        ``[G*Q, C, O]`` resident for the whole grid;
+      * per-m: the double-buffered feat/dfeat/residual blocks (3*e*c*2),
+        the basis/dbasis intermediates ``[gq, tm, c]`` (2*gq*c), pne3 /
+        dpne3 / dpre (~3*e*gq), g_exp (gq*o), geo (e*G*(d+1)*2) and out
+        (2*G*o*2).
+    The model reproduces the deepest-ClassNet bwd kernel's measured
+    109.88M (c=512, o=128, e=64, gq=64, tile 64) within 3%; the 80M
+    budget leaves 20M slack under the limit.  tile_m=256 was tuned at
+    the bench shape (e=32, c=64 — a ~6% bwd win) and survives this cap;
+    ScanNet's deep convs keep their measured tile 128."""
     csize = 2 if (
         compute_dtype is not None
         and jnp.dtype(compute_dtype) == jnp.bfloat16
     ) else 4
+    gq = g_frames * q
+    fixed = 2 * gq * c * o * csize
     per_m = (
-        (3 * e * c + e * g_frames * (d + 1) + 2 * g_frames * o)
-        * csize * 2
-    )
-    while tile_m > 32 and tile_m * per_m > 72 * 1024 * 1024:
+        3 * e * c * 2
+        + 2 * gq * c
+        + 3 * e * gq
+        + gq * o
+        + e * g_frames * (d + 1) * 2
+        + 2 * g_frames * o * 2
+    ) * csize
+    budget = 80 * 1024 * 1024 - fixed
+    while tile_m > 32 and tile_m * per_m > budget:
         tile_m //= 2
     return tile_m
 
@@ -478,7 +493,7 @@ def fused_pne_conv_bwd(
     d, q = proj_axes.shape
     e, c = feat_g.shape[2], feat_g.shape[3]
     o = conv_weights.shape[2]
-    tm = _tile_for(tile_m, e, c, o, d, g_frames, compute_dtype)
+    tm = _tile_for(tile_m, e, c, o, d, g_frames, q, compute_dtype)
     cdt_name = (
         None if compute_dtype is None else jnp.dtype(compute_dtype).name
     )
@@ -532,7 +547,7 @@ def fused_pne_conv(
     d, q = proj_axes.shape
     tile_m = _tile_for(
         tile_m, feat_g.shape[2], feat_g.shape[3], conv_weights.shape[2],
-        d, g_frames, compute_dtype,
+        d, g_frames, q, compute_dtype,
     )
     # Kernel operands built XLA-side, so autodiff folds the gradients
     # back onto the shared parameters.

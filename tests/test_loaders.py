@@ -129,10 +129,19 @@ def test_modelnet40_dataset_txt_and_h5_cache(mn40_root):
     assert len(ds) == 2
     s0 = ds[0]
     assert s0["positions"].shape == (32, 3)
-    assert s0["features"].shape == (32, 6)  # normals ++ coords
+    # default: constant-ones features — the reference task behavior
+    # (train_rot.py:117-120, train_standard.py:134); normals in the
+    # feature channel break SO(3) eval invariance
+    assert s0["features"].shape == (32, 1)
+    np.testing.assert_allclose(s0["features"], 1.0)
     assert int(s0["label"]) == 0
     assert int(ds[1]["label"]) == 1  # multi-token class name parses
     # h5 cache was written; a second instance loads from it.
     assert os.path.exists(os.path.join(mn40_root, "tmp_train_32.h5"))
     ds2 = ModelNet40Dataset(mn40_root, num_pts=32, split="train")
     np.testing.assert_allclose(ds2.pts, ds.pts)
+    # loader-level payload (reference ModelNet40.py:80-201) still exposed
+    ds3 = ModelNet40Dataset(
+        mn40_root, num_pts=32, split="train", use_ones_features=False
+    )
+    assert ds3[0]["features"].shape == (32, 6)  # normals ++ coords
