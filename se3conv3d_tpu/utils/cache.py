@@ -71,6 +71,15 @@ def enable_compilation_cache(directory: Optional[str] = None) -> str:
     """
     import jax
 
+    tag = platform_cache_tag()
+    if tag.startswith("cpu-"):
+        # No persistence on the CPU platform: CPU AOT executables embed
+        # compile-machine features — a re-provisioned host can SIGILL on
+        # them, and even same-host reloads spam cpu_aot_loader warnings
+        # for +prefer-no-* tuning pseudo-features (measured r4).  The
+        # CPU-mesh programs (dryrun / tests) compile cold in minutes,
+        # well inside their budgets.
+        return ""
     directory = directory or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(
@@ -79,7 +88,7 @@ def enable_compilation_cache(directory: Optional[str] = None) -> str:
             ".jax_cache",
         ),
     )
-    directory = os.path.join(directory, platform_cache_tag())
+    directory = os.path.join(directory, tag)
     jax.config.update("jax_compilation_cache_dir", directory)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     return directory
