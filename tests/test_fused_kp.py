@@ -122,6 +122,11 @@ def test_dispatch_accepts_kp():
     assert not fused_dispatch("kp_gauss", "max", False, "6D", True)
 
 
+# NOTE: no bf16 execution test here — the CPU backend cannot execute
+# BF16xBF16=F32 dots even in interpret mode ("Unsupported element type
+# for DotThunk"); the bf16 compute path is exercised on-chip (bench.py).
+
+
 @pytest.mark.parametrize("pne_type", ["kp_gauss", "kp_linear_double"])
 def test_pneconv_layer_fused_matches_xla(pne_type):
     """Full layer: PNEConv(use_fused=True, interpret) == use_fused=False."""

@@ -203,6 +203,95 @@ def test_scan_scenes_trains():
 
 
 @pytest.mark.slow
+def test_scan_scenes_classification_matches_manual():
+    """The scan path's count-weighting also covers classification
+    (per-example counts via the filler example_mask)."""
+    import optax
+
+    hcfg = HierarchyConfig(
+        init_cell_size=0.08,
+        cell_sizes=(0.16, 0.32),
+        capacities=(96, 48, 24),
+        frames=FrameConfig(n_frames=2, neigh_k=8),
+    )
+    spec = dataclasses.replace(
+        get_model_spec("ClassNetRotEquivMLPGELU19Former"),
+        patch_num_levels=1,
+        patch_num_features=(8,),
+        num_blocks=(1, 1),
+        num_features=(8, 16),
+        max_neighbors=8,
+    )
+    model = ClassNet(spec, num_in_feats=3, num_classes=4)
+    b, n = 2, 96
+    batch = {
+        "positions": jax.random.uniform(jax.random.PRNGKey(0), (b, n, 3)),
+        "mask": jnp.ones((b, n), bool),
+        "features": jnp.ones((b, n, 3)),
+        "labels": jnp.asarray([0, 3]),
+    }
+    tx = make_optimizer(max_lr=5e-3, total_steps=20)
+    trainer = Trainer(
+        model, hcfg, tx,
+        TrainSettings(task="classification", scan_scenes=True),
+    )
+    state = trainer.init(jax.random.PRNGKey(1), batch)
+    state = trainer.calibration_step(state, batch, jax.random.PRNGKey(2))
+    rng = jax.random.PRNGKey(3)
+    new_state, metrics = trainer.train_step(state, batch, rng)
+
+    rng_h, rng_d = jax.random.split(jax.random.fold_in(rng, state.step))
+    bstats = state.batch_stats
+    gsum = jax.tree_util.tree_map(
+        lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+    )
+    tsum = csum = 0.0
+    for i in range(b):
+        sub = {k: v[i : i + 1] for k, v in batch.items()}
+        h, f0, out_pc, out_labels, _ = trainer._build(
+            jax.random.fold_in(rng_h, i), sub
+        )
+
+        def loss_fn(params, bstats=bstats, h=h, f0=f0, out_pc=out_pc,
+                    out_labels=out_labels, i=i):
+            out, mutated = model.apply(
+                {
+                    "params": params,
+                    "batch_stats": bstats,
+                    "calib": state.calib,
+                },
+                h, f0, train=True, mutable=["batch_stats"],
+                rngs={"droppath": jax.random.fold_in(rng_d, i)},
+            )
+            total, count = trainer._loss_parts(out, out_labels, out_pc)
+            return total, (count, mutated)
+
+        (total, (count, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        bstats = mutated["batch_stats"]
+        gsum = jax.tree_util.tree_map(
+            lambda a, g: a + g.astype(jnp.float32), gsum, grads
+        )
+        tsum += float(total)
+        csum += float(count)
+
+    grads = jax.tree_util.tree_map(
+        lambda g, p: (g / csum).astype(p.dtype), gsum, state.params
+    )
+    updates, _ = tx.update(grads, state.opt_state, state.params)
+    exp_params = optax.apply_updates(state.params, updates)
+    assert csum == b  # one valid example per scene
+    np.testing.assert_allclose(float(metrics["loss"]), tsum / csum, rtol=1e-5)
+    for (_, a), (_, b_) in zip(
+        jax.tree_util.tree_leaves_with_path(new_state.params),
+        jax.tree_util.tree_leaves_with_path(exp_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-6
+        )
+
+
 def test_seg_train_step_on_8_device_mesh():
     """Data-parallel sharded step on the virtual CPU mesh; must match the
     single-device result (same total batch, replicated state)."""
