@@ -173,9 +173,13 @@ class PNEConv(nn.Module):
         rot_dims = {"6D": 6, "quaternion": 4, "matrix": 9}[self.rel_rot_type]
         if "mlp" in self.pne_type:
             p_dims = (3 + rot_dims) if self.equivariant else 3
+            corr = None
         else:
             kp, sigma = _kernel_points(self.pne_type)
             p_dims = kp.shape[0]
+            corr = "gauss" if "gauss" in self.pne_type else (
+                "box" if "box" in self.pne_type else "linear"
+            )
 
         proj_axes = self.param(
             "proj_axes",
@@ -298,9 +302,6 @@ class PNEConv(nn.Module):
 
         if use_fused:
             if "kp" in self.pne_type:
-                corr = "gauss" if "gauss" in self.pne_type else (
-                    "box" if "box" in self.pne_type else "linear"
-                )
                 outs = [
                     ops.fused_kp_conv(
                         pc_in, pc_out, neigh, features,
@@ -328,9 +329,6 @@ class PNEConv(nn.Module):
         if "mlp" in self.pne_type:
             pne = ops.linear_pne(rel, proj_axes, proj_biases, act)
         else:
-            corr = "gauss" if "gauss" in self.pne_type else (
-                "box" if "box" in self.pne_type else "linear"
-            )
             pne = ops.kp_pne(rel, kp, sigma, corr, proj_axes, proj_biases)
         pne = pne * neigh.mask[..., None]
 

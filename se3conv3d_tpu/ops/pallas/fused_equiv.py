@@ -411,24 +411,29 @@ def _tile_for(tile_m: int, e: int, c: int, o: int, d: int, g_frames: int,
         dpne3 / dpre (~3*e*gq), g_exp (gq*o), geo (e*G*(d+1)*2) and out
         (2*G*o*2).
     The model reproduces the deepest-ClassNet bwd kernel's measured
-    109.88M (c=512, o=128, e=64, gq=64, tile 64) within 3%; the 80M
-    budget leaves 20M slack under the limit.  tile_m=256 was tuned at
-    the bench shape (e=32, c=64 — a ~6% bwd win) and survives this cap;
-    ScanNet's deep convs keep their measured tile 128."""
+    109.88M (f32: c=512, o=128, e=64, gq=64, tile 64) within 3%; the
+    80M budget leaves 20M slack under the limit.  In bf16 mode the
+    cast-sensitive buffers (feat/geo/pne/basis/w2/g_exp) book 2 bytes
+    but the always-f32 parts (dW2/dprojT accumulators, out blocks, the
+    pre/act-grad temporaries and dot outputs) stay at 4 — for csize=4
+    the terms collapse to the f32-validated arithmetic exactly.
+    tile_m=256 was tuned at the bench shape (e=32, c=64 — a ~6% bwd
+    win) and survives this cap; ScanNet's deep convs keep their
+    measured tile 128."""
     csize = 2 if (
         compute_dtype is not None
         and jnp.dtype(compute_dtype) == jnp.bfloat16
     ) else 4
     gq = g_frames * q
-    fixed = 2 * gq * c * o * csize
+    fixed = gq * c * o * (csize + 4)          # w2 (csize) + dw2 (f32)
     per_m = (
-        3 * e * c * 2
-        + 2 * gq * c
-        + 3 * e * gq
-        + gq * o
-        + e * g_frames * (d + 1) * 2
-        + 2 * g_frames * o * 2
-    ) * csize
+        3 * e * c * 2 * csize                 # feat/dfeat/residual, dbuf
+        + gq * c * (csize + 4)                # basis (csize) + dbasis (f32)
+        + e * gq * (csize + 2 * 4)            # pne3 + dpne/dact f32 temps
+        + gq * o * csize                      # g_exp
+        + e * g_frames * (d + 1) * 2 * csize  # geo blocks, dbuf
+        + 2 * g_frames * o * 2 * 4            # out blocks (f32), dbuf
+    )
     budget = 80 * 1024 * 1024 - fixed
     while tile_m > 32 and tile_m * per_m > budget:
         tile_m //= 2

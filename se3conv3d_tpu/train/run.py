@@ -212,7 +212,15 @@ class Experiment:
         if self.dataset_name.startswith("scannet"):
             sampler = MaxPointsBatchSampler(
                 num_batches=self.steps_per_epoch if train else len(dataset),
-                max_points_per_batch=int(self.tr.get("pts_per_batch", 750000)),
+                # Train uses the full point budget; validation runs ONE
+                # scene per batch like the reference eval scripts
+                # (test_scannet_rot.py batch 1) — multi-scene batched
+                # EVAL steps are an unmeasured memory regime
+                # (scan_scenes covers the train step only).
+                max_points_per_batch=(
+                    int(self.tr.get("pts_per_batch", 750000)) if train
+                    else int(self.capacity)
+                ),
                 dataset=dataset,
                 max_scene_pts=int(self.ds_cfg.get("train_scene_max_pts", 0))
                 if train else 0,

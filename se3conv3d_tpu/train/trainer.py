@@ -11,6 +11,7 @@ single-GPU loop, SURVEY §5 "distributed communication backend").
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Any, Callable, Optional
 
 import jax
@@ -85,6 +86,15 @@ class Trainer:
         eval_hierarchy_config: Optional[HierarchyConfig] = None,
         donate_state: bool = True,
     ):
+        if settings.scan_scenes and mesh is not None:
+            warnings.warn(
+                "scan_scenes is ignored on a device mesh (the batch axis "
+                "shards across chips instead); per-chip multi-scene "
+                "batches run the batched step — size pts_per_batch so "
+                "each chip's share fits its HBM",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         self.model = model
         self.hcfg = hierarchy_config
         # Test-time frame count may differ from training (the reference's

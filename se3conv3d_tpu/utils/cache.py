@@ -43,6 +43,20 @@ def platform_cache_tag() -> str:
     )
     first = (plats or "").split(",")[0].strip().lower()
     if not first:
+        # If a backend is ALREADY initialised, trust it over the
+        # assumption: an unforced process whose accelerator tunnel is
+        # down silently falls back to CPU, and persisting those CPU AOT
+        # entries under the accelerator namespace is exactly the
+        # SIGILL hazard the namespacing prevents.  (We never TRIGGER
+        # initialisation here — this helper must stay device-free.)
+        try:
+            from jax._src import xla_bridge
+
+            if getattr(xla_bridge, "_backends", None):
+                first = jax.default_backend().lower()
+        except Exception:  # noqa: BLE001 - private-API probe, best effort
+            pass
+    if not first:
         return "axon"
     if first != "cpu":
         return first
