@@ -122,6 +122,33 @@ def test_dispatch_accepts_kp():
     assert not fused_dispatch("kp_gauss", "max", False, "6D", True)
 
 
+def test_kp_sorted_backward_matches_scatter(monkeypatch):
+    """kp conv under SE3CONV_BWD_MODE=sorted: the sorted-edge gather VJP
+    must produce the same gradients as the default scatter mode."""
+    pc, neigh, kp, sigma, feats, pa, pb, w = _setup(jax.random.PRNGKey(5))
+    nd, nn = jnp.asarray(1.7), jnp.asarray(0.11)
+
+    def loss(params):
+        feats_, pa_, pb_, w_ = params
+        out = ops.fused_kp_conv(
+            pc, pc, neigh, feats_, kp, sigma, "gauss", pa_, pb_, w_,
+            nd, nn, tile_m=32,
+        )
+        return jnp.sum(out * jnp.cos(out))
+
+    params = (feats, pa, pb, w)
+    g_scatter = jax.grad(loss)(params)
+    monkeypatch.setattr(ops, "BWD_SCATTER_MODE", "sorted")
+    g_sorted = jax.grad(loss)(params)
+    for a, b, name in zip(
+        g_scatter, g_sorted, ["feats", "proj", "bias", "w"]
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-3,
+            err_msg=f"sorted-mode grad mismatch: {name}",
+        )
+
+
 # NOTE: no bf16 execution test here — the CPU backend cannot execute
 # BF16xBF16=F32 dots even in interpret mode ("Unsupported element type
 # for DotThunk"); the bf16 compute path is exercised on-chip (bench.py).
