@@ -350,6 +350,13 @@ def main():
     dog.set_stage("backend-first-op", PROBE_SEC)
     float(jax.device_get(jnp.zeros(()) + 1.0))
 
+    # The backend is now real: if the tunnel silently fell back to CPU,
+    # stop persisting under the accelerator cache namespace
+    # (utils/cache.py:verify_cache_platform — SIGILL hazard otherwise).
+    from se3conv3d_tpu.utils.cache import verify_cache_platform
+
+    verify_cache_platform()
+
     # Mini workload first: a real (smaller) measurement lands in
     # dog.best within a couple of minutes even cold-cache, so a slow full
     # compile can no longer cost the round its number.

@@ -133,6 +133,15 @@ class Neighborhood(struct.PyTreeNode):
     # platform (~9-21 ns each, experiments/chip_scatter_test3.py).
     # Invalid slots (``~mask``) hold unspecified values.
     neigh_pos: Optional[jnp.ndarray] = None
+    # Truncation certificate ``[B, M]`` (ball query only, on request):
+    # True where more than K sources lay strictly inside the radius, i.e.
+    # the static cap dropped in-ball neighbors the reference's UNBOUNDED
+    # ball query (``store_neighbors.cu:129-176``) would have kept.
+    # Collected during the calibration epoch (NeighborhoodProvider
+    # ``collect_trunc``) and surfaced as the per-conv ``trunc_frac``
+    # calib stat so mis-capped configs warn instead of silently losing
+    # accuracy.
+    trunc: Optional[jnp.ndarray] = None
 
     @property
     def k(self) -> int:
@@ -159,7 +168,10 @@ def _chunked_topk_neighbors(
     chunk: int,
     rng: Optional[jax.Array] = None,
 ):
-    """Per-example blocked brute force: returns (idx [M,K], d2 [M,K]).
+    """Per-example blocked brute force: returns
+    ``(idx [M,K], valid [M,K], d2 [M,K], count [M])`` where ``count`` is
+    the number of candidates in range BEFORE the top-k cut (the
+    truncation certificate; unused outputs are DCE'd under jit).
 
     With ``rng``, in-radius candidates are kept by uniform random
     priority instead of distance (reservoir-sampling cap mode)."""
@@ -177,6 +189,7 @@ def _chunked_topk_neighbors(
         d2 = jnp.where(src_mask[None, :], d2, inf)
         if radius2 is not None:
             d2 = jnp.where(d2 < radius2, d2, inf)
+        cnt = jnp.sum(jnp.isfinite(d2), axis=1).astype(jnp.int32)
         if rng is not None:
             # uniform k-subset of the in-radius candidates via random
             # priorities (the reference's reservoir sampling,
@@ -185,20 +198,21 @@ def _chunked_topk_neighbors(
             score = jnp.where(jnp.isfinite(d2), pri, inf)
             _, idx = jax.lax.top_k(-score, k)
             dsel = jnp.take_along_axis(d2, idx, axis=1)
-            return idx.astype(jnp.int32), dsel
+            return idx.astype(jnp.int32), dsel, cnt
         neg, idx = jax.lax.top_k(-d2, k)
-        return idx.astype(jnp.int32), -neg
+        return idx.astype(jnp.int32), -neg, cnt
 
     keys = (
         jax.random.split(rng, n_chunks)
         if rng is not None
         else jnp.zeros((n_chunks, 2), jnp.uint32)
     )
-    idx, d2 = jax.lax.map(one_chunk, (qp, keys))
+    idx, d2, cnt = jax.lax.map(one_chunk, (qp, keys))
     idx = idx.reshape(-1, k)[:m]
     d2 = d2.reshape(-1, k)[:m]
+    cnt = cnt.reshape(-1)[:m]
     valid = jnp.isfinite(d2) & query_mask[:, None]
-    return jnp.where(valid, idx, 0), valid, jnp.where(valid, d2, 0.0)
+    return jnp.where(valid, idx, 0), valid, jnp.where(valid, d2, 0.0), cnt
 
 
 def knn_neighborhood(
@@ -511,7 +525,7 @@ def knn_neighborhood(
         )
 
     def per_example(sp, sm, qp, qm):
-        idx, mask, _ = _chunked_topk_neighbors(sp, sm, qp, qm, k, None, chunk)
+        idx, mask, _, _ = _chunked_topk_neighbors(sp, sm, qp, qm, k, None, chunk)
         if want_positions:
             # Small-cloud brute path: per-component fancy-index gathers
             # are cheap at this scale and avoid a trailing-3 layout.
@@ -536,6 +550,7 @@ def ball_query_neighborhood(
     cap_mode: str = "nearest",
     rng: Optional[jax.Array] = None,
     cell_cap: int = 32,
+    want_trunc: bool = False,
 ) -> Neighborhood:
     """Up to ``k`` source points strictly within ``radius``.
 
@@ -572,7 +587,8 @@ def ball_query_neighborhood(
         # nothing and halves the candidate gather volume (276 -> 175 ms
         # at 131k) — check cell_overflow_fraction for denser data.
         return grid_ball_query_neighborhood(
-            src, query, radius, k, rng=use_rng, cell_cap=cell_cap
+            src, query, radius, k, rng=use_rng, cell_cap=cell_cap,
+            want_trunc=want_trunc,
         )
     r2 = float(radius) ** 2
     b = src.positions.shape[0]
@@ -583,18 +599,19 @@ def ball_query_neighborhood(
     )
 
     def per_example(sp, sm, qp, qm, kr):
-        idx, mask, _ = _chunked_topk_neighbors(
+        idx, mask, _, cnt = _chunked_topk_neighbors(
             sp, sm, qp, qm, k, r2, chunk,
             rng=kr if use_rng is not None else None,
         )
-        return idx, mask
+        return idx, mask, cnt
 
-    idx, mask = jax.vmap(per_example)(
+    idx, mask, cnt = jax.vmap(per_example)(
         src.positions, src.mask, query.positions, query.mask, rngs
     )
     return Neighborhood(
         idx=idx, mask=mask, query_mask=query.mask, method="ball_query",
         radius=float(radius),
+        trunc=(cnt > k) & query.mask if want_trunc else None,
     )
 
 
@@ -701,7 +718,7 @@ def _build_cell_table(pos, mask, origin, dims, cell_size, table_size, cell_cap):
 def _grid_query(
     src_pos, src_mask, query_pos, query_mask, k, radius2,
     cell_size, make_cells, table_size, cell_cap, chunk=4096, rng=None,
-    want_pos=False,
+    want_pos=False, want_count=False,
 ):
     """Shared grid-query body of the two window layouts below.
 
@@ -720,7 +737,11 @@ def _grid_query(
     the selected candidates' coordinates ride the payload sort too and a
     trailing ``(px, py, pz)`` (each ``[M, K]``) is appended to the return
     — the hash-table rows already hold them, so this costs three extra
-    sort payloads instead of an M*K-row gather downstream.
+    sort payloads instead of an M*K-row gather downstream.  With
+    ``want_count`` a ``[M]`` in-range candidate count is appended before
+    the position tuple — the truncation certificate (counts table
+    candidates, so table-wrap hash collisions can only OVER-count:
+    conservative for a truncation warning).
     """
     m = query_pos.shape[0]
     origin, dims = _grid_geometry(src_pos, src_mask, cell_size)
@@ -796,6 +817,7 @@ def _grid_query(
         d2 = jnp.where(cnd >= 0, d2, inf)
         if radius2 is not None:
             d2 = jnp.where(d2 < radius2, d2, inf)
+        n_range = jnp.sum(jnp.isfinite(d2), axis=1).astype(jnp.int32)
         # Variadic sort carrying (candidate id, d2) as payload instead of
         # top_k + take_along_axis: the slot->candidate element gathers
         # dominated the whole query loop (~135 ms of a 205 ms pass at
@@ -817,7 +839,7 @@ def _grid_query(
                 dimension=1, num_keys=1, is_stable=True,
             )
             d2k = d2s
-        return (idx[:, :k], d2k[:, :k], cap_md2) + tuple(
+        return (idx[:, :k], d2k[:, :k], cap_md2, n_range) + tuple(
             p[:, :k] for p in pos_k
         )
 
@@ -826,12 +848,16 @@ def _grid_query(
         if rng is not None
         else jnp.zeros((n_chunks, 2), jnp.uint32)
     )
-    idx, d2, cap_md2, *pos = jax.lax.map(one_chunk, (h_c, q_c, md2_c, keys))
+    idx, d2, cap_md2, n_range, *pos = jax.lax.map(
+        one_chunk, (h_c, q_c, md2_c, keys)
+    )
     idx = idx.reshape(-1, k)[:m]
     d2 = d2.reshape(-1, k)[:m]
     cap_md2 = cap_md2.reshape(-1)[:m]
     ok = jnp.isfinite(d2) & query_mask[:, None]
     out = (jnp.where(ok, idx, 0).astype(jnp.int32), ok, d2, cap_md2)
+    if want_count:
+        out += (n_range.reshape(-1)[:m],)
     if want_pos:
         out += (tuple(p.reshape(-1, k)[:m] for p in pos),)
     return out
@@ -840,7 +866,7 @@ def _grid_query(
 def _grid_topk_neighbors(
     src_pos, src_mask, query_pos, query_mask, k, radius2,
     cell_size, window, table_size, cell_cap, chunk: int = 4096,
-    rng=None, want_pos=False,
+    rng=None, want_pos=False, want_count=False,
 ):
     """``window``^3 cells of edge ``cell_size`` centered on each query."""
     r = window // 2
@@ -855,13 +881,14 @@ def _grid_topk_neighbors(
     return _grid_query(
         src_pos, src_mask, query_pos, query_mask, k, radius2,
         cell_size, make_cells, table_size, cell_cap, chunk, rng, want_pos,
+        want_count,
     )
 
 
 def _grid_topk_neighbors_w2(
     src_pos, src_mask, query_pos, query_mask, k, radius2,
     coverage, table_size, cell_cap, chunk: int = 4096,
-    rng=None, want_pos=False,
+    rng=None, want_pos=False, want_count=False,
 ):
     """2x2x2-window variant: cell size ``2 * coverage``.
 
@@ -888,6 +915,7 @@ def _grid_topk_neighbors_w2(
     return _grid_query(
         src_pos, src_mask, query_pos, query_mask, k, radius2,
         s, make_cells, table_size, cell_cap, chunk, rng, want_pos,
+        want_count,
     )
 
 
@@ -932,6 +960,7 @@ def grid_ball_query_neighborhood(
     cell_cap: int = 32,
     table_size: Optional[int] = None,
     rng=None,
+    want_trunc: bool = False,
 ) -> Neighborhood:
     """Ball query via a spatial hash grid (2x2x2 window, cell = 2r).
 
@@ -952,18 +981,19 @@ def grid_ball_query_neighborhood(
     )
 
     def per_example(sp, sm, qp, qm, kr):
-        idx, ok, _, _ = _grid_topk_neighbors_w2(
+        idx, ok, _, _, cnt = _grid_topk_neighbors_w2(
             sp, sm, qp, qm, k, r2, float(radius), h_size, 4 * cell_cap,
-            rng=kr if rng is not None else None,
+            rng=kr if rng is not None else None, want_count=True,
         )
-        return idx, ok
+        return idx, ok, cnt
 
-    idx, mask = jax.vmap(per_example)(
+    idx, mask, cnt = jax.vmap(per_example)(
         src.positions, src.mask, query.positions, query.mask, rngs
     )
     return Neighborhood(
         idx=idx, mask=mask, query_mask=query.mask, method="ball_query",
         radius=float(radius),
+        trunc=(cnt > k) & query.mask if want_trunc else None,
     )
 
 

@@ -501,9 +501,15 @@ class MaxPointsBatchSampler:
         max_scene_pts: int = 0,
         pts_crop_ratio: float = 1.0,
         seed: int = 0,
+        max_scenes_per_batch: int = 0,
     ):
         self.num_batches = num_batches
         self.max_points = max_points_per_batch
+        # 0 = unbounded (reference semantics); evaluators pass 1 so a val
+        # batch is ALWAYS one scene — the greedy packer would otherwise
+        # co-pack small scenes under the point budget, an eval memory
+        # regime nothing measures (each scene pads toward capacity).
+        self.max_scenes = max_scenes_per_batch
         self.dataset = dataset
         self.rng = np.random.default_rng(seed)
         self.room_pts = []
@@ -528,7 +534,7 @@ class MaxPointsBatchSampler:
             self._take(self.list1, idx)
             batch = [idx]
             accum = self.room_pts[idx]
-            while True:
+            while not (self.max_scenes and len(batch) >= self.max_scenes):
                 left = self.max_points - accum
                 valid = np.zeros(len(self.dataset), bool)
                 if self.list1:

@@ -42,7 +42,7 @@ class ClassNet(nn.Module):
         calibrate: bool = False,
     ) -> jnp.ndarray:
         s = self.spec
-        provider = NeighborhoodProvider(hierarchy, s)
+        provider = NeighborhoodProvider(hierarchy, s, collect_trunc=calibrate)
         enc = Encoder(s, self.num_in_feats, name="encoder")(
             hierarchy, features, provider, train, calibrate
         )

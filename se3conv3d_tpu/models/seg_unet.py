@@ -55,7 +55,7 @@ class FPNSegUNet(nn.Module):
         return_hidden: bool = False,
     ):
         s = self.spec
-        provider = NeighborhoodProvider(hierarchy, s)
+        provider = NeighborhoodProvider(hierarchy, s, collect_trunc=calibrate)
 
         enc = Encoder(s, self.num_in_feats, name="encoder")(
             hierarchy, features, provider, train, calibrate
@@ -116,7 +116,7 @@ class SegUNet(nn.Module):
         calibrate: bool = False,
     ):
         s = self.spec
-        provider = NeighborhoodProvider(hierarchy, s)
+        provider = NeighborhoodProvider(hierarchy, s, collect_trunc=calibrate)
 
         enc = Encoder(s, self.num_in_feats, name="encoder")(
             hierarchy, features, provider, train, calibrate

@@ -129,9 +129,18 @@ class NeighborhoodProvider:
     catch most of it anyway, but this also keeps the program small).
     """
 
-    def __init__(self, hierarchy: Hierarchy, spec: ModelSpec):
+    def __init__(
+        self, hierarchy: Hierarchy, spec: ModelSpec,
+        collect_trunc: bool = False,
+    ):
         self.hierarchy = hierarchy
         self.spec = spec
+        # During the calibration pass, ball queries also certify their
+        # static cap: ``Neighborhood.trunc`` marks rows where more than
+        # ``max_neighbors`` sources lay in the ball (the reference's ball
+        # query is unbounded, ``store_neighbors.cu:129-176``, so
+        # truncation is a silent semantic deviation worth a warning).
+        self.collect_trunc = collect_trunc
         self._cache: Dict[tuple, Neighborhood] = {}
 
     def _build(
@@ -148,6 +157,7 @@ class NeighborhoodProvider:
             neigh = ball_query_neighborhood(
                 src_pc, dst_pc, radius, self.spec.max_neighbors,
                 cell_cap=self.spec.bq_cell_cap,
+                want_trunc=self.collect_trunc,
             )
         elif neigh_type == "knn":
             # ``spacing`` is the source level's subsample cell size; its

@@ -34,7 +34,49 @@ from ..core.pointcloud import PointCloud
 from ..ops import pne_conv as ops
 from .icosphere import icosphere_points
 
-__all__ = ["PNEConv", "ConvFactory", "fused_dispatch"]
+__all__ = ["PNEConv", "ConvFactory", "fused_dispatch", "check_neighbor_caps"]
+
+
+def check_neighbor_caps(calib_tree, threshold: float = 0.01, warn: bool = True):
+    """Neighbor-cap certificate: layers whose calibration pass saw
+    ball-query truncation.
+
+    The reference's ball query is UNBOUNDED (``store_neighbors.cu:129-176``,
+    ``BQNeighborhood.py:20`` max_neighbors=0); the TPU design keeps the
+    nearest ``ModelSpec.max_neighbors``.  The shipped caps were validated
+    by occupancy measurement for the shipped radii only — a user changing
+    radii/data density can silently truncate.  During calibration each
+    conv records ``trunc_frac`` = max fraction of query rows whose ball
+    held more than the cap; this turns those stats into a report.
+
+    Args:
+      calib_tree: the ``calib`` variable collection after calibration.
+      threshold: minimum truncated-row fraction to report.
+      warn: emit one ``UserWarning`` naming the offending layers.
+
+    Returns:
+      dict {layer path: truncated fraction} above threshold.
+    """
+    import warnings
+
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(calib_tree)
+    bad = {
+        "/".join(k[:-1]): float(v)
+        for k, v in flat.items()
+        if k[-1] == "trunc_frac" and float(v) > threshold
+    }
+    if bad and warn:
+        listing = ", ".join(f"{p}: {f:.1%}" for p, f in sorted(bad.items()))
+        warnings.warn(
+            "ball-query neighbor cap truncated real neighborhoods during "
+            f"calibration ({listing}); the reference's ball query is "
+            "unbounded — raise Model.max_neighbors or shrink the radii "
+            "to keep parity",
+            UserWarning,
+        )
+    return bad
 
 # Max conv-weight elements (C*Q*O) per fused-kernel call: W2 and its grad
 # accumulator stay VMEM-resident.  Wider convs are O-chunked in dispatch —
@@ -210,6 +252,16 @@ class PNEConv(nn.Module):
         calib_init_var = self.variable(
             "calib", "initialized", lambda: jnp.zeros((), bool)
         )
+        # Neighbor-cap certificate: max fraction of query rows whose ball
+        # neighborhood was truncated by the static ``max_neighbors`` cap
+        # (the reference's ball query is unbounded —
+        # ``store_neighbors.cu:129-176`` — so truncation silently deviates
+        # from its semantics).  Filled when the calibration pass runs with
+        # a trunc-collecting provider; ``check_neighbor_caps`` turns it
+        # into a one-shot warning after calibration.
+        trunc_var = self.variable(
+            "calib", "trunc_frac", lambda: jnp.zeros(())
+        )
 
         if calibrate and not self.is_initializing():
             if neigh.method == "ball_query":
@@ -232,6 +284,9 @@ class PNEConv(nn.Module):
                 seen, 0.9 * norm_neighs_var.value + 0.1 * new_neighs, new_neighs
             )
             calib_init_var.value = jnp.ones((), bool)
+            if neigh.trunc is not None:
+                frac = jnp.sum(neigh.trunc) / jnp.maximum(rows, 1)
+                trunc_var.value = jnp.maximum(trunc_var.value, frac)
 
         norm_dist = jax.lax.stop_gradient(norm_dist_var.value)
         norm_neighs = jax.lax.stop_gradient(norm_neighs_var.value)

@@ -42,7 +42,38 @@ __all__ = [
     "pad_samples_to",
     "global_batch",
     "host_local",
+    "cross_host_sum",
 ]
+
+
+def _combine_local_shards(arr) -> np.ndarray:
+    """Concatenate this process's addressable shards in batch order.
+
+    Arrays sharded over a NON-batch axis (the 2-D (data, points) mesh)
+    are first re-sharded to batch-only via a compiled identity — an XLA
+    all-gather over the point axis that every process participates in
+    (SPMD), after which the batch-axis concatenation applies."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    by_index = {}
+    for s in arr.addressable_shards:
+        key = tuple((sl.start, sl.stop, sl.step) for sl in s.index)
+        by_index.setdefault(key, s)
+    shards = list(by_index.values())
+    if len(shards) == 1:
+        return np.asarray(shards[0].data)
+    if len({k[1:] for k in by_index}) > 1:
+        # sharded over a non-batch axis: keep only the leading (batch)
+        # partition and gather the rest
+        spec = arr.sharding.spec
+        batch_only = NamedSharding(
+            arr.sharding.mesh,
+            PartitionSpec(spec[0] if len(spec) else None),
+        )
+        arr = jax.jit(lambda x: x, out_shardings=batch_only)(arr)
+        return _combine_local_shards(arr)
+    shards.sort(key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
 def host_local(arr) -> np.ndarray:
@@ -52,35 +83,35 @@ def host_local(arr) -> np.ndarray:
     through ``device_get``.  Multi-host batch-sharded arrays cannot be
     fetched whole (``device_get`` raises on non-addressable shards); this
     returns only THIS process's examples — its addressable shards
-    concatenated in batch-index order.  Because :func:`process_slice`
+    concatenated in batch-index order (arrays sharded over a non-batch
+    axis re-shard to batch-only first).  Because :func:`process_slice`
     partitions every global batch across hosts, each host evaluating its
-    local view covers the full set exactly once in union; per-host metric
-    summaries are over the local slice (cross-host metric reduction is
-    the caller's concern, and single-host runs are unaffected)."""
+    local view covers the full set exactly once in union; combine per-host
+    metric accumulators with :func:`cross_host_sum` for global numbers."""
     if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
-        # Dedup replicated shards (same index on several local devices),
-        # then require that the distinct shards differ ONLY along the
-        # leading (batch) axis — concatenating along axis 0 would silently
-        # duplicate/mix rows for arrays sharded over a non-batch axis
-        # (e.g. the 2-D (data, points) mesh), where a per-host view of
-        # whole examples does not even exist.
-        by_index = {}
-        for s in arr.addressable_shards:
-            key = tuple((sl.start, sl.stop, sl.step) for sl in s.index)
-            by_index.setdefault(key, s)
-        shards = list(by_index.values())
-        if len(shards) == 1:
-            return np.asarray(shards[0].data)
-        if len({k[1:] for k in by_index}) > 1:
-            raise ValueError(
-                "host_local requires shards that differ only along the "
-                "leading (batch) axis; this array is sharded over a "
-                "non-batch axis — re-shard to batch-only (or replicated) "
-                "before fetching a host-local view"
-            )
-        shards.sort(key=lambda s: s.index[0].start or 0)
-        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        return _combine_local_shards(arr)
     return np.asarray(jax.device_get(arr))
+
+
+def cross_host_sum(tree):
+    """Sum a pytree of host-side numpy accumulators across processes.
+
+    The cross-host metric reduction the evaluators need (each host
+    accumulates over its :func:`process_slice` of the data): single
+    process is an exact no-op; multi-process gathers via
+    ``multihost_utils.process_allgather`` and sums the leading axis
+    (dtype note: allgather routes through jax arrays, so int64/float64
+    accumulators reduce at 32-bit precision unless x64 is enabled —
+    immaterial for metric counts/logit sums).
+    """
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(tree)
+    return jax.tree_util.tree_map(
+        lambda g: np.asarray(g).sum(axis=0), gathered
+    )
 
 
 def process_slice(

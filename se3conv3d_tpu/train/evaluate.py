@@ -19,6 +19,7 @@ import jax
 import numpy as np
 
 from ..data.loaders import pad_collate
+from ..parallel.multihost import cross_host_sum
 from .metrics import SemSegMetrics
 
 __all__ = ["SegmentationVoter", "ClassificationVoter", "segment_smooth"]
@@ -46,12 +47,24 @@ class SegmentationVoter:
     """
 
     def __init__(self, trainer, dataset, num_classes: int, capacity: int,
-                 trainer_factory=None, bucket: int = 16384):
+                 trainer_factory=None, bucket: int = 16384,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         self.trainer = trainer
         self.dataset = dataset
         self.num_classes = num_classes
         self.capacity = capacity
         self.accum: List[Optional[np.ndarray]] = [None] * len(dataset)
+        # Multi-host: each process votes on its strided slice of the
+        # scenes and metrics() sums the per-class accumulators across
+        # processes — the union covers every scene exactly once.
+        # Single-process (the default) evaluates everything, unchanged.
+        self.process_index = (
+            jax.process_index() if process_index is None else process_index
+        )
+        self.process_count = (
+            jax.process_count() if process_count is None else process_count
+        )
         # capacity (int) -> Trainer whose eval step runs at that capacity;
         # lets over-capacity scenes (real ScanNet scenes reach ~1.5M pts,
         # reference feeds them whole at batch 1) evaluate one-shot at a
@@ -80,7 +93,7 @@ class SegmentationVoter:
         ``test_rot.py:111-156`` ensembling protocol)."""
         states = state if isinstance(state, (list, tuple)) else [state]
         self.dataset.increase_epoch_counter()
-        for i in range(len(self.dataset)):
+        for i in range(self.process_index, len(self.dataset), self.process_count):
             sample = self.dataset[i]
             n_raw = sample["positions"].shape[0]
             keep = {
@@ -138,6 +151,9 @@ class SegmentationVoter:
             # host, and eager per-scene jnp ops would round-trip the
             # tunnel-attached device (update_np docstring)
             m = m.update_np(voted, labels, seen)
+        # per-host scene slices -> global per-class sums (no-op with one
+        # process; each scene is voted by exactly one host)
+        m = cross_host_sum(jax.tree_util.tree_map(np.asarray, m))
         return m.summary(class_mask)
 
 
@@ -146,7 +162,9 @@ class ClassificationVoter:
     (reference ``test_rot.py:111-156``)."""
 
     def __init__(self, trainer, dataset, num_classes: int, capacity: int,
-                 batch_size: int = 8):
+                 batch_size: int = 8,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         self.trainer = trainer
         self.dataset = dataset
         self.num_classes = num_classes
@@ -154,13 +172,21 @@ class ClassificationVoter:
         self.batch_size = batch_size
         self.accum = np.zeros((len(dataset), num_classes), np.float64)
         self.labels = np.zeros((len(dataset),), np.int64)
+        # Multi-host: strided scene slice per process (see
+        # SegmentationVoter); accessors sum across processes.
+        self.process_index = (
+            jax.process_index() if process_index is None else process_index
+        )
+        self.process_count = (
+            jax.process_count() if process_count is None else process_count
+        )
 
     def run_epoch(self, states, epoch: int):
         """``states``: list of TrainStates (checkpoint ensemble)."""
         self.dataset.increase_epoch_counter()
-        n = len(self.dataset)
-        for start in range(0, n, self.batch_size):
-            idx = list(range(start, min(start + self.batch_size, n)))
+        mine = list(range(self.process_index, len(self.dataset), self.process_count))
+        for start in range(0, len(mine), self.batch_size):
+            idx = mine[start : start + self.batch_size]
             samples = [self.dataset[i] for i in idx]
             # pad the trailing partial batch to the fixed batch size so
             # the jitted eval step never recompiles (padded rows are
@@ -183,8 +209,15 @@ class ClassificationVoter:
                 self.accum[idx] += logits[: len(idx)]
             self.labels[idx] = [int(s["label"]) for s in samples[: len(idx)]]
 
+    def _global(self):
+        """Cross-process (accum, labels): each scene is voted by exactly
+        one process and the others hold zeros, so a plain sum assembles
+        the global buffers (no-op single-process)."""
+        return cross_host_sum((self.accum, self.labels))
+
     def accuracy(self) -> float:
-        return float((self.accum.argmax(-1) == self.labels).mean())
+        accum, labels = self._global()
+        return float((accum.argmax(-1) == labels).mean())
 
     def class_accuracy(self) -> float:
         """Class-balanced accuracy: mean over per-class accuracies of the
@@ -192,9 +225,10 @@ class ClassificationVoter:
         return float(np.mean(self.per_class_accuracy()))
 
     def per_class_accuracy(self) -> np.ndarray:
-        equal = self.accum.argmax(-1) == self.labels
+        accum, labels = self._global()
+        equal = accum.argmax(-1) == labels
         return np.array([
-            equal[self.labels == c].mean()
+            equal[labels == c].mean()
             for c in range(self.num_classes)
-            if (self.labels == c).any()
+            if (labels == c).any()
         ])

@@ -30,6 +30,7 @@ from ..data import (
 from ..parallel.mesh import make_mesh, shard_batch
 from ..parallel.multihost import (
     global_batch,
+    cross_host_sum,
     host_local,
     local_batch_size,
     pad_samples_to,
@@ -216,11 +217,14 @@ class Experiment:
                 # scene per batch like the reference eval scripts
                 # (test_scannet_rot.py batch 1) — multi-scene batched
                 # EVAL steps are an unmeasured memory regime
-                # (scan_scenes covers the train step only).
+                # (scan_scenes covers the train step only), enforced by
+                # max_scenes_per_batch=1 (the point budget alone would
+                # still co-pack small scenes).
                 max_points_per_batch=(
                     int(self.tr.get("pts_per_batch", 750000)) if train
                     else int(self.capacity)
                 ),
+                max_scenes_per_batch=0 if train else 1,
                 dataset=dataset,
                 max_scene_pts=int(self.ds_cfg.get("train_scene_max_pts", 0))
                 if train else 0,
@@ -309,6 +313,12 @@ class Experiment:
             state = self.trainer.calibration_step(
                 state, self._put(batch), jax.random.PRNGKey(i)
             )
+        # One-shot neighbor-cap certificate over the calibrated stats
+        # (reference ball query is unbounded; ours caps at
+        # Model.max_neighbors — warn when the cap actually truncated).
+        from ..nn.conv import check_neighbor_caps
+
+        check_neighbor_caps(jax.device_get(state.calib))
         return state
 
     def train_epoch(self, state, epoch: int):
@@ -350,7 +360,10 @@ class Experiment:
                 pred = np.argmax(logits, -1)
                 correct += float(((pred == labels) & valid).sum())
                 total += int(valid.sum())
-            return {"accuracy": correct / max(total, 1)}
+            # each host counted its process_slice; sum for the global
+            # accuracy (no-op single-process)
+            correct, total = cross_host_sum((np.asarray(correct), np.asarray(total)))
+            return {"accuracy": float(correct) / max(int(total), 1)}
         metrics = SemSegMetrics.empty(self.num_classes)
         self._last_val_cloud = None
         for bi, batch in enumerate(self._batches(self.val_ds, False)):
@@ -377,6 +390,12 @@ class Experiment:
                     np.asarray(labels[0])[m0][:n_keep],
                 )
             metrics = metrics.update(pred, labels, mask)
+        # per-host intersection/union/count accumulators -> global sums
+        # before the summary (no-op single-process)
+        metrics = jax.tree_util.tree_map(
+            np.asarray, jax.device_get(metrics)
+        )
+        metrics = cross_host_sum(metrics)
         return metrics.summary(
             dataset_class_mask(self.val_ds, self.num_classes)
         )

@@ -376,7 +376,25 @@ class Trainer:
 
     # ------------------------------------------------------------ public API
     def train_step(self, state, batch, rng):
-        return self._train_step(state, batch, rng)
+        """One optimizer step.
+
+        NOTE: with the default ``donate_state=True`` (TPU), ``state``'s
+        buffers are DONATED — deleted after the call.  Re-stepping from
+        the same state object (retry-after-chip-flap loops, timing
+        probes that repeat a step) needs ``Trainer(...,
+        donate_state=False)``; the except below turns the otherwise
+        cryptic deleted-buffer error into that pointer.
+        """
+        try:
+            return self._train_step(state, batch, rng)
+        except RuntimeError as e:  # jax raises RuntimeError on use-after-donate
+            if "deleted" in str(e).lower() or "donated" in str(e).lower():
+                raise RuntimeError(
+                    "train_step received a state whose buffers were already "
+                    "donated to a previous call; construct the Trainer with "
+                    "donate_state=False to re-step from a held state"
+                ) from e
+            raise
 
     def eval_step(self, state, batch, rng):
         return self._eval_step(state, batch, rng)

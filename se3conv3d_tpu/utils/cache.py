@@ -23,7 +23,36 @@ import hashlib
 import os
 from typing import Optional
 
-__all__ = ["enable_compilation_cache", "platform_cache_tag"]
+__all__ = [
+    "enable_compilation_cache",
+    "platform_cache_tag",
+    "verify_cache_platform",
+]
+
+
+def verify_cache_platform() -> bool:
+    """Post-initialisation guard: cache namespace must match the backend.
+
+    ``platform_cache_tag`` guesses ``axon`` for an unforced process
+    before any backend exists; if the accelerator tunnel is down, JAX
+    silently falls back to CPU AFTER the cache dir was configured — and
+    persisting CPU AOT entries under the accelerator namespace is
+    exactly the SIGILL/feature-mismatch hazard the namespacing prevents.
+    Call once after the first successful device op (bench.py does, right
+    after its backend probe): on mismatch the compilation cache is
+    disabled for this process and False is returned.
+    """
+    import jax
+
+    configured = getattr(jax.config, "jax_compilation_cache_dir", None)
+    if not configured:
+        return True
+    tag = os.path.basename(configured)
+    backend = jax.default_backend().lower()
+    if tag == backend or (tag.startswith("cpu-") and backend == "cpu"):
+        return True
+    jax.config.update("jax_compilation_cache_dir", None)
+    return False
 
 
 def platform_cache_tag() -> str:

@@ -246,6 +246,10 @@ class _Porter:
                   jnp.asarray(self._take(f"{ref}.norm_num_neighs_")))
         self._set(self.calib, path + ("initialized",),
                   jnp.ones((), bool))
+        # reference ball query is unbounded -> zero truncation expected;
+        # _calibrate_and_check compares our measured trunc_frac against
+        # this, certifying MAX_NEIGHBORS >= every reference degree.
+        self._set(self.calib, path + ("trunc_frac",), jnp.zeros(()))
 
     def bn(self, ref, path, wrapped=True):
         """BatchNormPC (``.layer_`` inside) or a raw torch BatchNorm1d."""
