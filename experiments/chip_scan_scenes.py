@@ -25,9 +25,19 @@ MODE = os.environ.get("MODE", "scan")
 B = 1 if MODE == "b1" else int(os.environ.get("B", "4"))
 N = int(os.environ.get("N", "131072"))
 
+import dataclasses as _dc
+
 spec = get_model_spec(
     "FPNSegUNetMLPGeluRotEqScanNet",
     max_neighbors=int(os.environ.get("MAXN", "24")),
+)
+# CDT=bfloat16 / REMAT=0 knobs for the r5 bf16 recipe decision
+_cdt = os.environ.get("CDT") or None
+_remat = os.environ.get("REMAT", "1") != "0"
+spec = _dc.replace(
+    spec,
+    conv=_dc.replace(spec.conv, compute_dtype=_cdt, remat=_remat),
+    conv_blocks=_dc.replace(spec.conv_blocks, compute_dtype=_cdt, remat=_remat),
 )
 caps = tuple(max(N // d, 64) for d in (1, 4, 16, 64, 256))
 hcfg = HierarchyConfig(
