@@ -167,11 +167,14 @@ def _chunked_topk_neighbors(
     radius2: Optional[float],
     chunk: int,
     rng: Optional[jax.Array] = None,
+    want_count: bool = False,
 ):
     """Per-example blocked brute force: returns
     ``(idx [M,K], valid [M,K], d2 [M,K], count [M])`` where ``count`` is
     the number of candidates in range BEFORE the top-k cut (the
-    truncation certificate; unused outputs are DCE'd under jit).
+    truncation certificate) — zeros unless ``want_count`` (strictly
+    conditional rather than DCE-reliant: this sits in the hot
+    workload-build path of the bench and the train step).
 
     With ``rng``, in-radius candidates are kept by uniform random
     priority instead of distance (reservoir-sampling cap mode)."""
@@ -189,7 +192,11 @@ def _chunked_topk_neighbors(
         d2 = jnp.where(src_mask[None, :], d2, inf)
         if radius2 is not None:
             d2 = jnp.where(d2 < radius2, d2, inf)
-        cnt = jnp.sum(jnp.isfinite(d2), axis=1).astype(jnp.int32)
+        cnt = (
+            jnp.sum(jnp.isfinite(d2), axis=1).astype(jnp.int32)
+            if want_count
+            else jnp.zeros((d2.shape[0],), jnp.int32)
+        )
         if rng is not None:
             # uniform k-subset of the in-radius candidates via random
             # priorities (the reference's reservoir sampling,
@@ -602,6 +609,7 @@ def ball_query_neighborhood(
         idx, mask, _, cnt = _chunked_topk_neighbors(
             sp, sm, qp, qm, k, r2, chunk,
             rng=kr if use_rng is not None else None,
+            want_count=want_trunc,
         )
         return idx, mask, cnt
 
@@ -817,7 +825,11 @@ def _grid_query(
         d2 = jnp.where(cnd >= 0, d2, inf)
         if radius2 is not None:
             d2 = jnp.where(d2 < radius2, d2, inf)
-        n_range = jnp.sum(jnp.isfinite(d2), axis=1).astype(jnp.int32)
+        n_range = (
+            jnp.sum(jnp.isfinite(d2), axis=1).astype(jnp.int32)
+            if want_count
+            else jnp.zeros((d2.shape[0],), jnp.int32)
+        )
         # Variadic sort carrying (candidate id, d2) as payload instead of
         # top_k + take_along_axis: the slot->candidate element gathers
         # dominated the whole query loop (~135 ms of a 205 ms pass at
@@ -981,10 +993,17 @@ def grid_ball_query_neighborhood(
     )
 
     def per_example(sp, sm, qp, qm, kr):
-        idx, ok, _, _, cnt = _grid_topk_neighbors_w2(
-            sp, sm, qp, qm, k, r2, float(radius), h_size, 4 * cell_cap,
-            rng=kr if rng is not None else None, want_count=True,
-        )
+        if want_trunc:
+            idx, ok, _, _, cnt = _grid_topk_neighbors_w2(
+                sp, sm, qp, qm, k, r2, float(radius), h_size, 4 * cell_cap,
+                rng=kr if rng is not None else None, want_count=True,
+            )
+        else:
+            idx, ok, _, _ = _grid_topk_neighbors_w2(
+                sp, sm, qp, qm, k, r2, float(radius), h_size, 4 * cell_cap,
+                rng=kr if rng is not None else None,
+            )
+            cnt = jnp.zeros(idx.shape[:1], jnp.int32)
         return idx, ok, cnt
 
     idx, mask, cnt = jax.vmap(per_example)(

@@ -195,6 +195,19 @@ def build_model_from_config(
             conv=dataclasses.replace(spec.conv, compute_dtype=cdt),
             conv_blocks=dataclasses.replace(spec.conv_blocks, compute_dtype=cdt),
         )
+    if "remat" in model_dict:
+        # False = keep autodiff conv residuals instead of rematerializing
+        # them in the backward.  Memory-safe only where the residuals fit
+        # (measured: ScanNet scan_scenes/B=1 at 131k-pt capacities fits a
+        # 16G chip and runs ~15-20% faster; the batch-32 DFaust recipe
+        # does NOT fit).  The bf16 ScanNet recipes ship remat: false.
+        rm = bool(model_dict["remat"])
+        spec = dataclasses.replace(
+            spec,
+            conv=dataclasses.replace(spec.conv, remat=rm),
+            conv_blocks=None if spec.conv_blocks is None
+            else dataclasses.replace(spec.conv_blocks, remat=rm),
+        )
     if "lean_vjp" in model_dict:
         # True = inputs-only lean VJP (drops remat; single-scene recipes
         # only — see ConvFactory.lean_vjp); False/default = autodiff

@@ -49,7 +49,8 @@ class SegmentationVoter:
     def __init__(self, trainer, dataset, num_classes: int, capacity: int,
                  trainer_factory=None, bucket: int = 16384,
                  process_index: Optional[int] = None,
-                 process_count: Optional[int] = None):
+                 process_count: Optional[int] = None,
+                 votes_per_step: int = 1):
         self.trainer = trainer
         self.dataset = dataset
         self.num_classes = num_classes
@@ -65,6 +66,18 @@ class SegmentationVoter:
         self.process_count = (
             jax.process_count() if process_count is None else process_count
         )
+        # In-graph vote batching: one eval step carries V copies of the
+        # scene on the batch axis — frame re-draws are per-point random
+        # inside build_hierarchy (attach_frames draws [B, N, ...] scores),
+        # so the V rows are V independent vote draws, and host augs are
+        # re-drawn per copy by the V dataset[i] calls.  One run_epoch call
+        # then scores V votes; callers loop ceil(votes / V) times.  Note
+        # epoch-SCHEDULED augmentations (epoch_iter lists) advance once
+        # per run_epoch call, i.e. per V-group — keep votes_per_step=1
+        # for protocols whose TTA schedule must advance every vote
+        # (random-draw TTA like RotationAug3D / fresh PCA frames is
+        # unaffected).  Measured on chip: see PARITY.md voting section.
+        self.votes_per_step = max(int(votes_per_step), 1)
         # capacity (int) -> Trainer whose eval step runs at that capacity;
         # lets over-capacity scenes (real ScanNet scenes reach ~1.5M pts,
         # reference feeds them whole at batch 1) evaluate one-shot at a
@@ -93,43 +106,50 @@ class SegmentationVoter:
         ``test_rot.py:111-156`` ensembling protocol)."""
         states = state if isinstance(state, (list, tuple)) else [state]
         self.dataset.increase_epoch_counter()
+        v = self.votes_per_step
         for i in range(self.process_index, len(self.dataset), self.process_count):
-            sample = self.dataset[i]
-            n_raw = sample["positions"].shape[0]
-            keep = {
-                k: v
-                for k, v in sample.items()
-                if k in ("positions", "features", "labels")
-            }
-            trainer, cap = self._trainer_for(n_raw)
-            batch = pad_collate([keep], capacity=cap)
+            # V independent host-aug draws of the same scene = V votes
+            samples = [self.dataset[i] for _ in range(v)]
+            n_raws = [s["positions"].shape[0] for s in samples]
+            keeps = [
+                {
+                    k: val
+                    for k, val in s.items()
+                    if k in ("positions", "features", "labels")
+                }
+                for s in samples
+            ]
+            trainer, cap = self._trainer_for(max(n_raws))
+            batch = pad_collate(keeps, capacity=cap)
+            full_n = (
+                self.dataset.get_num_pts(i)
+                if hasattr(self.dataset, "get_num_pts")
+                else n_raws[0]
+            )
+            if self.accum[i] is None:
+                self.accum[i] = np.zeros(
+                    (full_n, self.num_classes), np.float64
+                )
             for state_j in states:
                 out = trainer.eval_step(
                     state_j, batch, jax.random.PRNGKey(epoch * 100003 + i)
                 )
-                logits = np.asarray(jax.device_get(out["logits"]))[0]
-                mask = np.asarray(jax.device_get(out["mask"]))[0]
-                if "out_idx" in out:
-                    idx = np.asarray(jax.device_get(out["out_idx"]))[0]
-                else:
-                    idx = np.arange(cap)
-                valid_ids = sample.get("valid_ids")
-                full_n = (
-                    self.dataset.get_num_pts(i)
-                    if hasattr(self.dataset, "get_num_pts")
-                    else n_raw
+                logits_v = np.asarray(jax.device_get(out["logits"]))
+                mask_v = np.asarray(jax.device_get(out["mask"]))
+                idx_v = (
+                    np.asarray(jax.device_get(out["out_idx"]))
+                    if "out_idx" in out
+                    else np.broadcast_to(np.arange(cap), (v, cap))
                 )
-                if self.accum[i] is None:
-                    self.accum[i] = np.zeros(
-                        (full_n, self.num_classes), np.float64
-                    )
-                rows = np.nonzero(mask)[0]
-                idx_m = idx[rows]
-                ok = idx_m < n_raw
-                orig = idx_m[ok]
-                if valid_ids is not None:
-                    orig = valid_ids[orig]
-                np.add.at(self.accum[i], orig, logits[rows[ok]])
+                for j in range(v):
+                    rows = np.nonzero(mask_v[j])[0]
+                    idx_m = idx_v[j][rows]
+                    ok = idx_m < n_raws[j]
+                    orig = idx_m[ok]
+                    valid_ids = samples[j].get("valid_ids")
+                    if valid_ids is not None:
+                        orig = valid_ids[orig]
+                    np.add.at(self.accum[i], orig, logits_v[j][rows[ok]])
 
     def metrics(
         self,

@@ -82,6 +82,10 @@ def main():
                          "--log_folder holds a saved config.yaml)")
     ap.add_argument("--vote_epochs", type=int, default=None,
                     help="default: Testing.num_epochs of the conf, else 30")
+    ap.add_argument("--votes_per_step", type=int, default=1,
+                    help="batch V vote draws per eval step on the batch "
+                         "axis (frames/augs re-draw per copy); measured "
+                         "faster on chip for V>1 at fwd-only memory")
     ap.add_argument("--checkpoints", type=int, default=1,
                     help="ensemble the last N stored checkpoints "
                          "(reference test_rot.py:73-156 protocol)")
@@ -120,10 +124,15 @@ def main():
     voter = SegmentationVoter(
         exp.trainer, exp.val_ds, exp.num_classes, exp.capacity,
         trainer_factory=exp.make_eval_trainer,
+        votes_per_step=args.votes_per_step,
     )
-    for epoch in range(vote_epochs):
+    n_groups = -(-vote_epochs // args.votes_per_step)
+    for epoch in range(n_groups):
         voter.run_epoch(states, epoch)
-        print(f"vote epoch {epoch + 1}/{vote_epochs}", flush=True)
+        print(
+            f"vote epoch {min((epoch + 1) * args.votes_per_step, vote_epochs)}"
+            f"/{vote_epochs}", flush=True,
+        )
 
     if hasattr(exp.val_ds, "scenes"):
         full_labels = [s.get("labels") for s in exp.val_ds.scenes]

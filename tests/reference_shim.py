@@ -242,6 +242,15 @@ def install_reference_env():
     _install_torch_cluster(torch)
     _install_pcl_ops(torch)
 
+    # Other parity tests (test_reference_conv_parity.py) install STUB
+    # point_cloud_lib submodules; importlib would return those instead of
+    # executing the real packages — purge them first.
+    for name in list(sys.modules):
+        if name == "models" or name.split(".")[0] in (
+            "point_cloud_lib", "models"
+        ):
+            del sys.modules[name]
+
     # point_cloud_lib: the real top-level __init__ imports the broken
     # data_sets package (SURVEY §2.7) — assemble the package manually and
     # import only the subpackages the models need.

@@ -57,6 +57,10 @@ def _flat_calib(state):
         jax.tree_util.keystr(k): np.asarray(v)
         for k, v in leaves
         if np.issubdtype(np.asarray(v).dtype, np.floating)
+        # trunc_frac is a MAX-accumulator (neighbor-cap certificate), not
+        # an EMA statistic: more batches can only raise it, so it is not
+        # subject to the drift bound.
+        and not jax.tree_util.keystr(k).endswith("['trunc_frac']")
     }
 
 

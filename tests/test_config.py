@@ -209,6 +209,24 @@ def test_compute_dtype_override():
     assert model.spec.conv_blocks.compute_dtype == "bfloat16"
 
 
+def test_remat_override():
+    """Model.remat: false (the r5 bf16 ScanNet recipes) reaches the conv
+    factories; a config without the key keeps the safe default (True)."""
+    md = {
+        "model": "FPNSegUNetMLPGeluRotEqScanNet",
+        "init_subsample": 0.1,
+        "grid_subsamples": [0.2, 0.4, 0.8, 1.6],
+        "compute_dtype": "bfloat16",
+        "remat": False,
+    }
+    model = build_model_from_config(md, 3, 21)
+    assert model.spec.conv.remat is False
+    assert model.spec.conv_blocks.remat is False
+    del md["remat"]
+    model = build_model_from_config(md, 3, 21)
+    assert model.spec.conv.remat is True
+
+
 def test_sorted_bwd_mode_keeps_remat(monkeypatch):
     """SE3CONV_BWD_MODE=sorted disables the lean inputs-only VJP inside
     the fused conv (sorted tables need the autodiff residual path), so

@@ -320,3 +320,52 @@ def test_metrics_update_np_matches_device_update():
         )
     s_dev, s_host = dev.summary(), host.summary()
     assert s_dev["miou"] == s_host["miou"]
+
+
+class _BatchAwareTrainer:
+    """Batch-generalised _FakeTrainer: handles V scene copies per step."""
+
+    def __init__(self, capacity, num_classes, subsample=2):
+        self.capacity = capacity
+        self.num_classes = num_classes
+        self.subsample = subsample
+
+    def eval_step(self, state, batch, rng):
+        b = batch["positions"].shape[0]
+        logits, masks, idxs = [], [], []
+        for j in range(b):
+            pos = batch["positions"][j]
+            n = pos.shape[0]
+            out_idx = np.clip(np.arange(self.capacity) * self.subsample, 0, n - 1)
+            mask = np.arange(self.capacity) < (
+                int(batch["mask"][j].sum()) // self.subsample
+            )
+            lab = np.floor(pos[out_idx, 0]).astype(int) % self.num_classes
+            logits.append(np.eye(self.num_classes)[lab] * 10.0)
+            masks.append(mask)
+            idxs.append(out_idx)
+        return {
+            "logits": jnp.asarray(np.stack(logits)),
+            "mask": jnp.asarray(np.stack(masks)),
+            "out_idx": jnp.asarray(np.stack(idxs)),
+            "labels": jnp.zeros((b, self.capacity), jnp.int32),
+            "loss": jnp.zeros(()),
+        }
+
+
+def test_vote_batching_matches_sequential_votes():
+    """votes_per_step=V accumulates V votes per run_epoch call and, with a
+    deterministic dataset/trainer, exactly equals V sequential epochs."""
+    ds_a, ds_b = _FakeDataset(), _FakeDataset()
+    seq = SegmentationVoter(
+        _BatchAwareTrainer(capacity=16, num_classes=4), ds_a,
+        num_classes=4, capacity=32,
+    )
+    for epoch in range(4):
+        seq.run_epoch(None, epoch)
+    batched = SegmentationVoter(
+        _BatchAwareTrainer(capacity=16, num_classes=4), ds_b,
+        num_classes=4, capacity=32, votes_per_step=4,
+    )
+    batched.run_epoch(None, 0)
+    np.testing.assert_allclose(batched.accum[0], seq.accum[0])
