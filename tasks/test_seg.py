@@ -84,8 +84,10 @@ def main():
                     help="default: Testing.num_epochs of the conf, else 30")
     ap.add_argument("--votes_per_step", type=int, default=1,
                     help="batch V vote draws per eval step on the batch "
-                         "axis (frames/augs re-draw per copy); measured "
-                         "faster on chip for V>1 at fwd-only memory")
+                         "axis (frames/augs re-draw per copy). Measured "
+                         "SLOWER per vote on one 16G chip (0.71->0.91 s, "
+                         "chip_vote_batch.py) - use on multi-chip meshes "
+                         "where the batch axis shards")
     ap.add_argument("--checkpoints", type=int, default=1,
                     help="ensemble the last N stored checkpoints "
                          "(reference test_rot.py:73-156 protocol)")
